@@ -1,0 +1,75 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced end-to-end with the `noop` sink (full JVM execution,
+zero serialization back to Python) — the honest analog of a cluster job
+writing to storage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from messikinesisprovider_spark.registry import all_specs
+from messikinesisprovider_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward shuffle/join/hash
+# work that dominates at scale.
+HEADLINE = [
+    "flagship_events_last_day",
+    "pricing_summary",
+    "join_broadcast",
+    "join_multiway",
+    "join_range_nonequi",
+    "window_topk_per_group",
+    "time_bucket_tumbling",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+    "multimodal_decode_pipeline",
+]
+
+
+def main():
+    sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
+    spark = get_spark("bench")
+    specs = all_specs()
+    # JVM warm-up: one tiny end-to-end job so the first timed query doesn't
+    # pay session/codegen bootstrap costs.
+    specs["sort_limit_topk"].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        specs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

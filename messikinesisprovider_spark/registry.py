@@ -1,0 +1,55 @@
+"""Query registry: every operator the engine claims is registered here.
+
+Each :class:`QuerySpec` pairs a Spark implementation (``fn(spark, sf_dir) ->
+DataFrame``) with an equivalent ANSI-SQL oracle string runnable by DuckDB on
+the same parquet tables. The driver hashes (row count, schema, order-
+insensitive values) of both sides — so column NAMES and value determinism
+matter as much as semantics.
+
+Determinism rules used across all specs (see helpers in operators/relational.py):
+
+- Additive aggregates over doubles are computed as ``SUM(CAST(term AS
+  DECIMAL(18,6)))`` then cast back to DOUBLE: decimal summation is exact and
+  order-independent, so Spark's partial/final shuffle aggregation and DuckDB's
+  single-node aggregation produce bit-identical doubles.
+- Averages are ``CAST(SUM(dec) AS DOUBLE) / COUNT(...)`` — one deterministic
+  double division instead of engine-specific decimal division scale rules.
+- Window/top-k orderings always carry a unique key as the final tiebreaker.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver runs the weaker rows-only check
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, description: str = "", tags: tuple[str, ...] = ()):
+    """Decorator: register a (spark, sf_dir) -> DataFrame query."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, description=description, tags=tags)
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    # Import side-effect modules that register their specs.
+    from .operators import dedup, multimodal, relational, similarity, text  # noqa: F401
+    from . import log as _log  # noqa: F401
+
+    return dict(_REGISTRY)
