@@ -54,6 +54,11 @@ def _utc(t: datetime) -> datetime:
     return t if t.tzinfo is not None else t.replace(tzinfo=timezone.utc)
 
 
+def _naive(t: datetime) -> datetime:
+    """Aware → naive UTC (Spark timestamps are naive in a UTC session)."""
+    return t.astimezone(timezone.utc).replace(tzinfo=None) if t.tzinfo else t
+
+
 def shard_for_key(partition_key: str, n_shards: int) -> str:
     """Deterministic md5-based routing (stable across processes/languages)."""
     h = int.from_bytes(hashlib.md5(partition_key.encode()).digest()[:8], "big")

@@ -1,0 +1,87 @@
+"""Extension-operator quality tests: dedup recall, ANN recall, decode plumbing.
+
+These cover the operators whose oracle is rows-only (hash-seeded MinHash /
+SimHash / LSH): we verify them against the exact operators instead.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from messikinesisprovider_spark.operators import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_estimates_match_exact_jaccard(spark):
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.dedup_ngram_jaccard(spark, SF).collect()
+    }
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.dedup_minhash_lsh(spark, SF).collect()
+    }
+    # recall: high-similarity exact pairs should surface as candidates
+    strong = {p for p, j in exact.items() if j >= 0.5}
+    found = strong & set(est)
+    assert len(strong) == 0 or len(found) / len(strong) >= 0.8
+    # estimator accuracy on the overlap (64 hashes → stderr ≈ 0.06)
+    for p in found:
+        assert abs(est[p] - exact[p]) < 0.25
+
+
+def test_simhash_pairs_are_actually_similar(spark):
+    pairs = dedup.dedup_simhash(spark, SF).collect()
+    assert all(r["hamming"] <= dedup.SIMHASH_MAX_HAMMING for r in pairs)
+    # symmetric: no (b, a) duplicates, no self-pairs
+    seen = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert all(a < b for a, b in seen)
+
+
+def test_exact_dedup_counts_consistent(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    total = d.count()
+    groups = dedup.dedup_exact(spark, SF)
+    assert groups.agg(F.sum("n_copies")).collect()[0][0] == total
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.sim_topk_bruteforce(spark, SF).collect()
+    }
+    ann = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.sim_ann_lsh(spark, SF).collect()
+    }
+    # On a near-isotropic corpus single-probe LSH recall is modest; the
+    # operator contract is: every ANN result is a true same-bucket neighbor
+    # and ranks correctly. Require non-trivial overlap to catch wiring bugs.
+    assert len(ann) > 0
+    assert len(ann & brute) >= 1
+
+
+def test_lsh_bucket_is_deterministic(spark):
+    e1 = similarity.sim_ann_lsh(spark, SF).collect()
+    e2 = similarity.sim_ann_lsh(spark, SF).collect()
+    assert sorted(map(tuple, e1)) == sorted(map(tuple, e2))
+
+
+def test_multimodal_decode_roundtrip(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    images = multimodal.synthesize_image_column(d)
+    meta = multimodal.decode_image_meta(images)
+    rows = meta.collect()
+    assert len(rows) == 50
+    assert all(r["decode_ok"] for r in rows)
+    assert all(r["format"] == "fimg" for r in rows)
+    assert all(1 <= r["width"] <= 2048 and 1 <= r["height"] <= 2048 for r in rows)
+
+
+def test_multimodal_decode_rejects_garbage(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    garbage = d.select("doc_id", F.encode("text", "utf-8").alias("image"))
+    rows = multimodal.decode_image_meta(garbage).collect()
+    # stub raises NotImplementedError internally → surfaced as decode_ok=False
+    assert all(not r["decode_ok"] for r in rows)
+    assert all(r["format"] is None for r in rows)
