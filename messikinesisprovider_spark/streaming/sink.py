@@ -1,0 +1,89 @@
+"""Publishing sink with the reference producer's delivery semantics (S1-S3).
+
+The reference batches messages into one PutRecords call, then loops re-putting
+only the failed subset until none remain, logging a warning that retries can
+reorder within the batch (KinesisMessiProducer.java:60,103-160, warning :112).
+
+Spark-first shape: a `foreachBatch` sink. Each microbatch is "one PutRecords
+call"; the failed-subset retry loop runs inside the batch function. ULIDs are
+assigned before the first attempt, so retries are idempotent and a downstream
+`effectively_once` consumer collapses any duplicates (the reference's logical-
+order-recovery story, SURVEY.md §7.4 item 5).
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
+
+
+class SinkError(RuntimeError):
+    pass
+
+
+class PartialFailure(Exception):
+    """Transport reported per-record failures: `failed` holds input indices
+    (the analog of PutRecordsResponse entries with errorCode set)."""
+
+    def __init__(self, failed: list[int]):
+        super().__init__(f"{len(failed)} records failed")
+        self.failed = failed
+
+
+def publish_with_retry(
+    records: list[dict],
+    transport: Callable[[list[dict]], None],
+    max_rounds: int = 10,
+) -> int:
+    """Send `records`; on PartialFailure keep re-sending only the failed
+    subset until clean or `max_rounds` exhausted. Returns rounds used."""
+    batch = records
+    rounds = 0
+    while batch:
+        rounds += 1
+        if rounds > max_rounds:
+            raise SinkError(f"still {len(batch)} failed records after {max_rounds} rounds")
+        try:
+            transport(batch)
+            return rounds
+        except PartialFailure as pf:
+            if rounds == 1 and pf.failed:
+                # KinesisMessiProducer.java:112 — acknowledged reordering hazard
+                log.warning(
+                    "Records failed when publishing batch, retrying %d failed; "
+                    "this may re-order messages within the batch",
+                    len(pf.failed),
+                )
+            batch = [batch[i] for i in pf.failed]
+    return rounds
+
+
+def foreach_batch_publisher(
+    transport_factory: Callable[[], Callable[[list[dict]], None]],
+    max_rounds: int = 10,
+):
+    """Build a foreachBatch function that publishes each microbatch with
+    failed-subset retry. `transport_factory` is invoked per batch on the
+    driver (e.g. returning a boto3 put_records adapter or a test fake).
+
+    Usage:
+        df.writeStream.foreachBatch(foreach_batch_publisher(make_transport))
+          .option("checkpointLocation", ...).start()
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        transport = transport_factory()
+        # One "PutRecords request" per partition, executed on executors would
+        # need a serializable transport; the driver-side collect here bounds
+        # at microbatch admission size (maxFilesPerTrigger), matching the
+        # reference's 500-record PutRecords ceiling. For cluster-scale sinks
+        # swap to batch_df.foreachPartition with an executor-side transport.
+        records = [r.asDict(recursive=True) for r in batch_df.collect()]
+        if records:
+            publish_with_retry(records, transport, max_rounds=max_rounds)
+
+    return handle
