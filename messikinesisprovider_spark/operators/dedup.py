@@ -21,18 +21,26 @@ Jaccard operator (recall/precision) instead.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .relational import tbl
+from .relational import spread, tbl
 
 # Word-3-gram shingles as a Spark SQL expression (0-based toks[i]).
+# The token array is bound ONCE via a single-element transform: a naive
+# version with `split(text, ' ')` inlined at each reference re-tokenizes the
+# string 3× per lambda element (~180× per document — measured 7 s for 5k
+# docs, vs <1 s bound).
 _SHINGLES = (
-    "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-    "transform(sequence(0, size(split(text, ' ')) - 3), "
-    "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])) "
-    "ELSE array() END"
+    "transform(array(split(text, ' ')), toks -> "
+    "CASE WHEN size(toks) >= 3 THEN "
+    "transform(sequence(0, size(toks) - 3), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+    "ELSE array() END)[0]"
 )
 
 # Same shingling in DuckDB dialect (1-based list indexing; range(a,b) is [a,b)).
@@ -95,7 +103,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("g"))
+    # Join on the shingle's 64-bit hash, not the string: ~2× cheaper shuffle
+    # and compare. Collision probability at n distinct shingles is n²/2⁶⁵
+    # (≈5e-9 even at 300k shingles) — immaterial to the exact-pair contract.
+    sh = (
+        spread(d)
+        .select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("gs"))
+        .select("doc_id", F.xxhash64("gs").alias("g"))
+    )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -137,23 +152,53 @@ def bind1(value_sql: str, var: str, body_sql: str) -> str:
     return f"transform(array({value_sql}), {var} -> {body_sql})[0]"
 
 
+# Universal-hash family for the Arrow path: sig_i = min over shingles of
+# (a_i * h + b_i) mod p, with h = xxhash64(shingle) (JVM-side) reduced mod
+# 2^31. Deterministic (seeded), overflow-free in uint64.
+_MERSENNE_P = (1 << 61) - 1
+_H_MOD = 1 << 31
+
+
+def _hash_family():
+    rng = np.random.default_rng(2024)
+    a = rng.integers(1, 1 << 29, size=_N_HASHES, dtype=np.uint64)
+    b = rng.integers(0, 1 << 40, size=_N_HASHES, dtype=np.uint64)
+    return a, b
+
+
 def minhash_signatures(d: DataFrame) -> DataFrame:
-    """doc_id, sig: array<bigint> of length 64, n_shingles."""
-    shingled = d.select(
+    """doc_id, sig: array<bigint> of length 64, n_shingles.
+
+    Hybrid plan for the hot path: string shingling + xxhash64 stay JVM-side
+    (one hash per shingle); the 64-way universal-hash min runs in an
+    Arrow-batched pandas UDF as one vectorized (n_shingles × 64) matrix op.
+    A pure higher-order-function version was ~10× slower: Spark's lambda
+    functions are interpreted per element, so 64 × |shingles| lambda
+    evaluations per row dominate.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    a_coef, b_coef = _hash_family()
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig_udf(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            hv = (np.asarray(h, dtype=np.int64).astype(np.uint64)) % _H_MOD
+            m = (a_coef[None, :] * hv[:, None] + b_coef[None, :]) % _MERSENNE_P
+            out.append(m.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    shingled = spread(d).select(
         "doc_id", F.array_distinct(F.expr(_SHINGLES)).alias("sh")
     ).filter(F.size("sh") > 0)
-    return shingled.select(
+    hashed = shingled.select(
         "doc_id",
-        F.expr(
-            bind1(
-                "sh",
-                "shv",
-                f"transform(sequence(0, {_N_HASHES - 1}), "
-                f"i -> array_min(transform(shv, s -> xxhash64(s, i))))",
-            )
-        ).alias("sig"),
+        F.expr("transform(sh, s -> xxhash64(s))").alias("hs"),
         F.size("sh").alias("n_shingles"),
     )
+    return hashed.select("doc_id", sig_udf("hs").alias("sig"), "n_shingles")
 
 
 @register(
@@ -164,11 +209,16 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    # Persist the signature table: the band self-join and the estimator both
+    # read it, and without materialization each side would recompute the full
+    # shingle+hash pipeline. At 100 TB this is exactly the production shape —
+    # signatures are written out once and joined thereafter.
+    sigs = minhash_signatures(d).persist()
     # Band hash: one 64-bit hash of the 4 signature slots in the band.
+    # Slim (3-column) band rows keep the self-join shuffle narrow; signatures
+    # re-attach afterward only for the surviving candidate pairs.
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.expr(
                 bind1(
@@ -183,21 +233,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    cand = pairs.join(sa, "doc_a").join(sb, "doc_b")
     est = (
         F.expr(
             "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
@@ -219,23 +267,34 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def simhash_bits(d: DataFrame) -> DataFrame:
-    # Hash each token once (bind1: the 64 per-bit folds all read the same
-    # materialized hash array instead of re-hashing the tokens 64×).
-    return d.select(
-        "doc_id",
-        F.expr(
-            bind1(
-                "transform(split(text, ' '), t -> xxhash64(t))",
-                "th",
-                # shiftright() fn form: the `>>` operator mis-parses inside
-                # nested lambdas in Spark 4.1's SQL parser
-                "transform(sequence(0, 63), b -> "
-                "CASE WHEN aggregate(th, 0L, "
-                "(acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
-                "THEN 1 ELSE 0 END)",
-            )
-        ).alias("bits"),
+    """doc_id, bits: array<int> of 64 sign bits.
+
+    Same hybrid as MinHash: token hashing JVM-side, the 64-bit sign
+    aggregation vectorized in an Arrow batch (unpack bits of all token
+    hashes → column sums → sign).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    shifts = None
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def bits_udf(ths: pd.Series) -> pd.Series:
+        nonlocal shifts
+        if shifts is None:
+            shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for th in ths:
+            h = np.asarray(th, dtype=np.int64).astype(np.uint64)
+            bits01 = (h[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tokens, 64)
+            sums = (bits01.astype(np.int64) * 2 - 1).sum(axis=0)
+            out.append((sums > 0).astype(np.int32))
+        return pd.Series(out)
+
+    hashed = spread(d).select(
+        "doc_id", F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias("th")
     )
+    return hashed.select("doc_id", bits_udf("th").alias("bits"))
 
 
 @register(
@@ -246,7 +305,7 @@ def simhash_bits(d: DataFrame) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
-    sigs = simhash_bits(d)
+    sigs = simhash_bits(d).persist()  # both join sides + hamming read it
     chunks = sigs.select(
         "doc_id",
         "bits",
@@ -311,7 +370,7 @@ EMBED_COS_THRESHOLD = 0.38
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings")
-    withn = e.select(
+    withn = spread(e).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         F.expr(

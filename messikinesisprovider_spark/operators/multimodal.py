@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..registry import register
-from .relational import tbl
+from .relational import spread, tbl
 
 
 @register(
@@ -129,7 +129,7 @@ def decode_image_meta(images: DataFrame) -> DataFrame:
     tags=("multimodal", "mapinpandas", "extension"),
 )
 def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = tbl(spark, sf_dir, "documents")
+    d = spread(tbl(spark, sf_dir, "documents"))
     meta = decode_image_meta(synthesize_image_column(d))
     return (
         meta.groupBy("format", "channels", "decode_ok")

@@ -46,6 +46,17 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's parallelism.
+
+    The test tables are single parquet files → one input partition → zero
+    parallelism for compute-heavy per-row operators. A real 100 TB table
+    arrives in thousands of splits so this is a no-op there (AQE coalesces
+    any excess); locally it unlocks all cores for the CPU-bound stages.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dsum(term_sql: str, alias: str) -> "F.Column":
     """Order-independent double sum: sum exact decimals, cast back to double."""
     return F.expr(f"CAST(SUM(CAST(({term_sql}) AS DECIMAL(18,6))) AS DOUBLE)").alias(alias)

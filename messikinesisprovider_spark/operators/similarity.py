@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..registry import register
-from .relational import tbl
+from .relational import spread, tbl
 
 DIM = 64
 TOP_K = 5
@@ -32,7 +32,7 @@ _DOT = "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
 
 
 def _unit_vectors(e: DataFrame) -> DataFrame:
-    return e.select(
+    return spread(e).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         F.expr(

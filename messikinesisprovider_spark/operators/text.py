@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .relational import tbl
+from .relational import spread, tbl
 
 # Tiny deterministic stopword lists per language (public common words).
 STOPWORDS = {
