@@ -49,7 +49,14 @@ def register(name: str, oracle: str | None, description: str = "", tags: tuple[s
 
 def all_specs() -> dict[str, QuerySpec]:
     # Import side-effect modules that register their specs.
-    from .operators import dedup, multimodal, relational, similarity, text  # noqa: F401
+    from .operators import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        relational2,
+        similarity,
+        text,
+    )
     from . import log as _log  # noqa: F401
 
     return dict(_REGISTRY)

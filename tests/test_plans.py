@@ -1,0 +1,66 @@
+"""Plan-quality tests: the scale contract (pushdown, pruning, broadcast,
+partial aggregation, top-k) asserted on the physical plans of the registered
+queries. A change that silently de-optimizes a plan fails here, not on a
+cluster."""
+
+from messikinesisprovider_spark.plans import inspect
+from messikinesisprovider_spark.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def q(spark, name):
+    return all_specs()[name].fn(spark, SF)
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = q(spark, "filter_project")
+    pushed = " ".join(inspect.pushed_filters(df))
+    assert "l_discount" in pushed and "l_quantity" in pushed and "l_shipdate" in pushed
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    df = q(spark, "filter_project")
+    [schema] = inspect.read_schemas(df)
+    # 11-column table; only the 7 referenced columns should be read
+    assert "l_orderkey" in schema and "l_extendedprice" in schema
+    assert "l_suppkey" not in schema and "l_tax" not in schema
+
+
+def test_dimension_join_broadcasts(spark):
+    assert inspect.has_broadcast_join(q(spark, "join_broadcast"))
+
+
+def test_multiway_join_broadcasts_all_dims(spark):
+    plan = inspect.physical_plan(q(spark, "join_multiway"))
+    # lineitem⋈orders may shuffle; every dimension join must broadcast
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_topk_avoids_global_sort(spark):
+    assert inspect.has_top_k(q(spark, "sort_limit_topk"))
+
+
+def test_aggregation_has_map_side_partial(spark):
+    assert inspect.partial_aggregate_count(q(spark, "pricing_summary")) >= 2
+
+
+def test_semi_join_stays_semi(spark):
+    plan = inspect.physical_plan(q(spark, "join_semi"))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_stays_anti(spark):
+    plan = inspect.physical_plan(q(spark, "join_anti"))
+    assert "LeftAnti" in plan
+
+
+def test_scan_heavy_queries_are_codegen(spark):
+    # the hot path of a pure projection pipeline should be one codegen span
+    assert inspect.codegen_stage_count(q(spark, "text_stats")) >= 1
+
+
+def test_events_time_filter_prunes_columns(spark):
+    df = q(spark, "cursor_scan_from_time")
+    schemas = inspect.read_schemas(df)
+    assert all("props" not in s for s in schemas), "unused props column must be pruned"
