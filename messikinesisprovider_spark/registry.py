@@ -51,6 +51,7 @@ def all_specs() -> dict[str, QuerySpec]:
     # Import side-effect modules that register their specs.
     from .operators import (  # noqa: F401
         dedup,
+        grouped,
         multimodal,
         relational,
         relational2,
