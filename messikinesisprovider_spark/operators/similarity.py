@@ -137,6 +137,68 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
 
 
+N_IVF_CELLS = 16
+N_PROBE = 3
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=None,  # trained quantizer; structure + agreement with brute force tested
+    description=f"ANN top-{TOP_K} via IVF: KMeans({N_IVF_CELLS}) coarse quantizer, probe {N_PROBE} cells, exact rerank",
+    tags=("similarity", "ivf", "ann", "extension"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF — the scale path for clustered corpora: one KMeans pass assigns
+    every vector to a cell (shuffle-free after broadcast of centroids);
+    queries probe their N_PROBE nearest cells, so the exact rerank touches
+    ~N_PROBE/N_IVF_CELLS of the corpus instead of all of it. At 100 TB the
+    quantizer is trained once on a sample and the cell id becomes a partition
+    column — cell probing is then partition pruning."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).withColumn(
+        "fv", array_to_vector(F.col("v"))
+    )
+    km = KMeans(k=N_IVF_CELLS, seed=42, maxIter=10, featuresCol="fv", predictionCol="cell")
+    model = km.fit(e.select("fv"))
+    centers = model.clusterCenters()
+    centers_sql = (
+        "array("
+        + ", ".join("array(" + ", ".join(f"{x}D" for x in c) + ")" for c in centers)
+        + ")"
+    )
+    # per-row: distances to all centroids → indices of the N_PROBE nearest
+    probe_cells = F.expr(
+        f"slice(transform(array_sort(transform(sequence(0, {N_IVF_CELLS - 1}), "
+        f"c -> struct(aggregate(zip_with({centers_sql}[c], v, (w, x) -> (w - x) * (w - x)), 0D, "
+        f"(s, d) -> s + d) AS dist, c AS cell))), s -> s.cell), 1, {N_PROBE})"
+    )
+    assigned = model.transform(e).select("vec_id", "v", "nrm", "cell")
+    q = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("probe", probe_cells)
+        .select("vec_id", "v", "nrm", F.explode("probe").alias("cell"))
+        .alias("q")
+    )
+    c = assigned.alias("c")
+    cos = F.round(F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm")), 6).cast("double")
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("c.cell") == F.col("q.cell")) & (F.col("c.vec_id") != F.col("q.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= TOP_K)
+
+
 @register(
     "embedding_norm_stats",
     oracle="""

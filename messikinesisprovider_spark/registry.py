@@ -55,6 +55,7 @@ def all_specs() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         relational2,
+        relational3,
         similarity,
         text,
     )

@@ -85,3 +85,24 @@ def test_multimodal_decode_rejects_garbage(spark):
     # stub raises NotImplementedError internally → surfaced as decode_ok=False
     assert all(not r["decode_ok"] for r in rows)
     assert all(r["format"] is None for r in rows)
+
+
+def test_ann_ivf_structure_and_agreement(spark):
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cos_sim"]
+        for r in similarity.sim_topk_bruteforce(spark, SF).collect()
+    }
+    ivf = similarity.sim_ann_ivf(spark, SF).collect()
+    assert len(ivf) == similarity.N_QUERIES * similarity.TOP_K
+    per_query = {}
+    for r in ivf:
+        per_query.setdefault(r["query_id"], []).append((r["rnk"], r["cos_sim"]))
+    for qid, rows in per_query.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True), "rank must follow cosine desc"
+    # where IVF and brute-force agree on a pair, the cosine must be identical
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert abs(brute[key] - r["cos_sim"]) < 1e-9
