@@ -11,6 +11,8 @@ functions` so they also have exact DuckDB oracles.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -202,4 +204,73 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5(F.lower(F.trim(F.regexp_replace("text", " +", " ")))).alias("fingerprint"),
+    )
+
+
+# --- Winnowing rolling-hash fingerprints (Schleimer/Wilkerson/Aiken, MOSS) ---
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnow window (guarantee: any match of length >= K+W-1 is caught)
+_ROLL_BASE = 257
+_ROLL_MOD = (1 << 61) - 1
+
+
+def winnow_fingerprints_py(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
+    """Pure-Python reference: rolling polynomial hash over char k-grams, then
+    winnowing (rightmost-min per window). Used by the vectorized UDF below
+    and as the oracle in tests."""
+    n = len(text)
+    if n < k:
+        return []
+    b, m = _ROLL_BASE, _ROLL_MOD
+    top = pow(b, k - 1, m)
+    h = 0
+    hashes = []
+    for i, ch in enumerate(text):
+        h = (h * b + ord(ch)) % m
+        if i >= k:
+            h = (h - ord(text[i - k]) * top * b) % m
+        if i >= k - 1:
+            hashes.append(h)
+    fps: list[int] = []
+    last = -1
+    for start in range(0, max(1, len(hashes) - w + 1)):
+        window = hashes[start : start + w]
+        mn = min(window)
+        idx = start + max(i for i, v in enumerate(window) if v == mn)  # rightmost min
+        if idx != last:
+            fps.append(hashes[idx])
+            last = idx
+    return fps
+
+
+def winnowing_fingerprints(d: DataFrame) -> DataFrame:
+    """doc_id, fps: array<bigint> — Arrow-vectorized winnowing."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: winnow_fingerprints_py(t or ""))
+
+    from .relational import spread
+
+    return spread(d).select("doc_id", fp_udf("text").alias("fps"))
+
+
+@register(
+    "text_winnowing",
+    oracle=None,  # rolling hash has no SQL-portable twin; checked against the
+    # pure-Python reference and for plagiarism-pair semantics in tests
+    description=f"Winnowing fingerprints (k={WINNOW_K} char-grams, w={WINNOW_W}): per-doc count + selectivity",
+    tags=("text", "fingerprint", "winnowing", "extension"),
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = tbl(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(d)
+    return fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.expr("size(array_distinct(fps))").alias("n_distinct_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
     )

@@ -106,3 +106,27 @@ def test_ann_ivf_structure_and_agreement(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in brute:
             assert abs(brute[key] - r["cos_sim"]) < 1e-9
+
+
+def test_winnowing_matches_python_reference(spark):
+    from messikinesisprovider_spark.operators import text as text_ops
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    got = {
+        r["doc_id"]: list(r["fps"])
+        for r in text_ops.winnowing_fingerprints(d).collect()
+    }
+    for row in d.select("doc_id", "text").collect():
+        assert got[row["doc_id"]] == text_ops.winnow_fingerprints_py(row["text"])
+
+
+def test_winnowing_detects_shared_substrings(spark):
+    from messikinesisprovider_spark.operators.text import winnow_fingerprints_py, WINNOW_K, WINNOW_W
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content with no overlap whatsoever here"
+    # guarantee: any shared substring of length >= K+W-1 shares a fingerprint
+    shared = set(winnow_fingerprints_py(base)) & set(winnow_fingerprints_py("XX" + base + "YY"))
+    assert shared, "same long substring must share fingerprints"
+    disjoint = set(winnow_fingerprints_py(base)) & set(winnow_fingerprints_py(other))
+    assert len(disjoint) <= 1  # unrelated text: at most accidental overlap
