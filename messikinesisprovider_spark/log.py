@@ -377,3 +377,29 @@ def cursor_fallback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed.join(missing.select("a_ts"), on="a_ts", how="left_anti").select(
         "event_id", "ts", "event_type"
     )
+
+
+def validate_ordering_groups(log: "MessiLog") -> DataFrame:
+    """Violations of the envelope's ordering contract.
+
+    MessiMessage carries `ordering {group, sequenceNumber}`
+    (MessiClientTck.java:73-76): within one group, sequence numbers are
+    expected to be non-decreasing along broker order. Returns one row per
+    violation: a message whose ordering_seq went backwards relative to its
+    predecessor in the same (shard, topic, group).
+    """
+    from pyspark.sql.window import Window as W
+
+    df = log._raw().filter(F.col("ordering_group").isNotNull())
+    w = W.partitionBy("shard_id", "topic", "ordering_group").orderBy("sequence_number")
+    with_prev = df.select(
+        "shard_id",
+        "topic",
+        "ordering_group",
+        "sequence_number",
+        "ordering_seq",
+        F.lag("ordering_seq").over(w).alias("prev_seq"),
+    )
+    return with_prev.filter(
+        F.col("prev_seq").isNotNull() & (F.col("ordering_seq") < F.col("prev_seq"))
+    )

@@ -240,3 +240,20 @@ def test_topic_multiplexing_shares_shards(log):
     assert ext_ids(both) == ["x", "y"]
     only_t2 = log.receive_all(MessiCursor.oldest(), "0", topic="t2")
     assert ext_ids(only_t2) == ["y"]
+
+
+def test_ordering_group_validation(log):
+    from messikinesisprovider_spark.log import validate_ordering_groups
+
+    # group g1 in order; group g2 regresses at the third message
+    for grp, seqs in [("g1", [1, 2, 3]), ("g2", [5, 9, 7])]:
+        for s in seqs:
+            log.publish(
+                "t",
+                [{"partition_key": "pk", "ordering_group": grp, "ordering_seq": s}],
+                now=T0,
+            )
+    violations = validate_ordering_groups(log).collect()
+    assert len(violations) == 1
+    v = violations[0]
+    assert v["ordering_group"] == "g2" and v["ordering_seq"] == 7 and v["prev_seq"] == 9
