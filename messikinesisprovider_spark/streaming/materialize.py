@@ -1,0 +1,70 @@
+"""Streaming upsert materializer: log → latest-state snapshot (CDC pattern).
+
+A message log is an insert-only change stream; most consumers want the
+current state per business key. `upsert_snapshot` runs a foreachBatch
+MERGE-equivalent: each microbatch reduces to its latest row per key (highest
+(shard, sequence)), unions with the existing snapshot, and keeps the winner.
+The snapshot is rewritten atomically per batch (overwrite) — at warehouse
+scale the same logic targets a MERGE-capable table format; the reduction
+logic is identical.
+
+Late/duplicate deliveries are harmless: the winner is chosen by broker
+sequence, not arrival, so reprocessing a batch converges to the same state
+(idempotent — the at-least-once story O4 needs exactly this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def latest_per_key(df: DataFrame, key: str = "external_id") -> DataFrame:
+    """Reduce to the newest row per key by (shard_id, sequence_number)."""
+    w = W.partitionBy(key).orderBy(
+        F.col("shard_id").desc(), F.col("sequence_number").desc()
+    )
+    return (
+        df.filter(F.col(key).isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_snapshot(
+    stream_df: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key: str = "external_id",
+):
+    """Start a streaming query maintaining `snapshot_dir` as latest-per-key.
+
+    Returns the StreamingQuery. Use trigger availableNow + awaitTermination
+    in batch-drain tests.
+    """
+    spark = stream_df.sparkSession
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        incoming = latest_per_key(batch_df, key)
+        try:
+            current = spark.read.parquet(snapshot_dir)
+            merged = latest_per_key(current.unionByName(incoming), key)
+        except Exception:  # first batch: no snapshot yet
+            merged = incoming
+        # stage-then-swap write: a failed write leaves the old snapshot intact
+        staged = snapshot_dir + ".staging"
+        merged.write.mode("overwrite").parquet(staged)
+        import shutil, os
+
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(staged, snapshot_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
