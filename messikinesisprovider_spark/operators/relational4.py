@@ -62,3 +62,52 @@ def deterministic_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket_c")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
     )
+
+
+@register(
+    "groupwise_max_subquery",
+    oracle="""
+    SELECT p.p_brand, p.p_partkey, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (SELECT MAX(p2.p_retailprice)
+                             FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+    description="Correlated scalar subquery: groupwise max (decorrelated to a join by Catalyst)",
+    tags=("subquery", "correlated", "sql"),
+)
+def groupwise_max_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_partkey, p.p_retailprice
+        FROM part p
+        WHERE p.p_retailprice = (SELECT MAX(p2.p_retailprice)
+                                 FROM part p2 WHERE p2.p_brand = p.p_brand)
+        """
+    )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_id,   epoch_us(ts)::HUGEINT * 1000000000 + event_id) AS last_event_id,
+           arg_max(event_type, epoch_us(ts)::HUGEINT * 1000000000 + event_id) AS last_event_type,
+           MAX(ts)::TIMESTAMP AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    description="Latest-state per key via argmax on a packed (time, id) key — single-pass, no window sort",
+    tags=("agg", "argminmax", "latest-state"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_by on a packed (time, id) key: one hash aggregation instead of a
+    # window sort — the shape that wins at 100 TB (map-side partial argmax).
+    # DECIMAL(38,0) key ↔ DuckDB HUGEINT: same total order, no overflow.
+    ev = events_tbl(spark, sf_dir)
+    k = "CAST(unix_micros(ts) AS DECIMAL(38,0)) * 1000000000 + event_id"
+    return ev.groupBy("user_id").agg(
+        F.expr(f"max_by(event_id, {k})").alias("last_event_id"),
+        F.expr(f"max_by(event_type, {k})").alias("last_event_type"),
+        F.max("ts").alias("last_ts"),
+    )
