@@ -38,8 +38,14 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_topk_bruteforce",
+    "sim_ann_ivf",
     "text_quality_score",
     "multimodal_decode_pipeline",
+    "asof_join_last_click",
+    "sessionize_gaps",
+    "latest_event_per_user",
+    "dedup_clusters",
+    "grouped_user_features",
 ]
 
 

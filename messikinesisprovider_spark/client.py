@@ -1,0 +1,162 @@
+"""MessiClient facade — the reference's API surface over the Spark engine.
+
+A user of the reference navigates client → topic → shard → producer /
+streaming-consumer (KinesisMessiClient.java:18-41, KinesisMessiTopic.java:
+21-80, KinesisMessiShard.java:23-69). This facade preserves that navigation
+and its contracts (shards shared across topics, per-shard consumers, cursor
+factories, unsupported ops raising) so reference code ports mechanically;
+underneath it is MessiLog + the streaming layer.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import SparkSession
+
+from .cursor import ULID_TIME_TOLERANCE, MessiCursor
+from .log import MessiLog, UnsupportedOperation
+from .ulid import Ulid
+
+
+class MessiClient:
+    """Handle over one log + checkpoint folder (KinesisMessiClient.java:18-41)."""
+
+    def __init__(self, spark: SparkSession, root: str, n_shards: int = 1):
+        self._log = MessiLog(spark, root, n_shards=n_shards)
+        self._closed = False
+
+    def topic_of(self, name: str) -> "MessiTopic":
+        self._check_open()
+        return MessiTopic(self._log, name)
+
+    def last_message(self, topic: str, shard_id: str):
+        raise UnsupportedOperation("lastMessage is unsupported (KinesisMessiClient.java:49-51)")
+
+    def metadata_client(self):
+        raise UnsupportedOperation("metadata is unsupported (KinesisMessiClient.java:74-77)")
+
+    def close(self) -> None:
+        self._closed = True
+
+    def is_closed(self) -> bool:
+        return self._closed
+
+    def _check_open(self):
+        if self._closed:
+            raise RuntimeError("client is closed")
+
+
+class MessiTopic:
+    """Logical name multiplexed within one physical log
+    (KinesisMessiTopic.java:21-66): `shards()` ignores the topic."""
+
+    def __init__(self, log: MessiLog, name: str):
+        self._log = log
+        self.name = name
+
+    def shards(self) -> list[str]:
+        return self._log.shards()
+
+    def first_shard(self) -> str:
+        return self.shards()[0]
+
+    def shard_of(self, shard_id: str) -> "MessiShard":
+        return MessiShard(self._log, self.name, shard_id)
+
+    def producer(self) -> "MessiProducer":
+        return MessiProducer(self._log, self.name)
+
+
+class MessiProducer:
+    def __init__(self, log: MessiLog, topic: str):
+        self._log = log
+        self._topic = topic
+
+    def publish(self, *messages: dict, now: datetime | None = None) -> list[dict]:
+        return self._log.publish(self._topic, list(messages), now=now)
+
+
+class MessiShard:
+    """Per-shard cursor factory + consumer entry (KinesisMessiShard.java:23-163)."""
+
+    def __init__(self, log: MessiLog, topic: str, shard_id: str):
+        self._log = log
+        self._topic = topic
+        self.shard_id = shard_id
+
+    # -- cursor factories ---------------------------------------------------
+    def cursor_at_last_message(self) -> MessiCursor:
+        return MessiCursor.now()
+
+    def cursor_at_trim_horizon(self) -> MessiCursor:
+        return MessiCursor.oldest()
+
+    def cursor_at(self, msg: dict) -> MessiCursor:
+        return self._log.cursor_at(msg)
+
+    def cursor_after(self, msg: dict) -> MessiCursor:
+        return self._log.cursor_after(msg)
+
+    def cursor_of_checkpoint(self, payload: str) -> MessiCursor:
+        return MessiCursor.from_checkpoint(payload)
+
+    def cursor_at_time(self, t: datetime) -> MessiCursor:
+        return MessiCursor.at_time(t)
+
+    def cursor_at_ulid(self, u: Ulid, inclusive: bool = True) -> MessiCursor:
+        return MessiCursor.at_ulid(u, inclusive=inclusive)
+
+    def cursor_at_external_id(
+        self,
+        external_id: str,
+        near_time: datetime,
+        tolerance: timedelta = ULID_TIME_TOLERANCE,
+        inclusive: bool = True,
+    ) -> MessiCursor:
+        return MessiCursor.at_external_id(external_id, near_time, tolerance, inclusive)
+
+    def streaming_consumer(self, cursor: MessiCursor) -> "MessiStreamingConsumer":
+        return MessiStreamingConsumer(self._log, self._topic, self.shard_id, cursor)
+
+
+class MessiStreamingConsumer:
+    """Pull-based consumer over the batch-replay scan — receive() semantics of
+    KinesisMessiStreamingConsumer.java:54-159 (None on exhaustion/timeout),
+    with seek() re-positioning (:181-187)."""
+
+    def __init__(self, log: MessiLog, topic: str, shard_id: str, cursor: MessiCursor):
+        self._log = log
+        self._topic = topic
+        self._shard_id = shard_id
+        self._cursor = cursor
+        self._buffer: list[dict] | None = None
+        self._pos = 0
+
+    def _fill(self) -> None:
+        if self._buffer is None:
+            rows = self._log.receive_all(self._cursor, self._shard_id, topic=self._topic)
+            self._buffer = [r.asDict(recursive=True) for r in rows]
+            self._pos = 0
+
+    def receive(self) -> dict | None:
+        """Next message in broker order, or None when drained (the batch
+        analog of the reference's timeout-null)."""
+        self._fill()
+        if self._pos >= len(self._buffer):
+            return None
+        msg = self._buffer[self._pos]
+        self._pos += 1
+        return msg
+
+    def seek(self, t: datetime) -> None:
+        """Clear the buffer and re-position at a timestamp
+        (KinesisStreamingBuffer.java:295-324 semantics)."""
+        self._cursor = MessiCursor.at_time(t)
+        self._buffer = None
+
+    def current_position(self):
+        raise UnsupportedOperation(
+            "currentPosition is unsupported (TODO in the reference, "
+            "KinesisMessiStreamingConsumer.java:176-178)"
+        )

@@ -140,3 +140,92 @@ def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("height").alias("max_height"),
         )
     )
+
+
+# ---- resize stage (same mapInPandas shape, writes new binary payloads) ----
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("image", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("was_resized", T.BooleanType(), False),
+    ]
+)
+
+
+def resize_image_meta(images: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Clamp each image's dimensions to max_dim, rewriting the container
+    header (the stub's "resample"). Identical plumbing to a real
+    PIL.Image.resize stage: binary in, binary out, no shuffle."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
+                try:
+                    _, w, h, ch, _ = _decode_one(bytes(buf))
+                except NotImplementedError:
+                    rows.append((doc_id, None, None, None, False))
+                    continue
+                scale = max_dim / max(w, h)
+                if scale >= 1.0:
+                    rows.append((doc_id, bytes(buf), w, h, False))
+                    continue
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                body = bytes(buf)[9:]
+                header = _MAGIC + struct.pack(">HH", (nw - 1) % 65536, (nh - 1) % 65536) + bytes([ch])
+                rows.append((doc_id, header + body, nw, nh, True))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return images.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+# ---- fake video + frame sampling (explode shape) --------------------------
+
+_VMAGIC = b"FVID"  # FVID | u16 n_frames | u16 frame_len | frames...
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def synthesize_video_column(d: DataFrame, n_frames: int = 12, frame_len: int = 16) -> DataFrame:
+    """Wrap each doc's hash-stream into a fake fixed-frame-length video."""
+    # md5 hex is 32 chars = 16 bytes after unhex; repeat to cover all frames
+    reps = -(-(n_frames * frame_len) // 16)
+    body_full = F.expr(
+        f"substring(unhex(repeat(md5(text), {reps})), 1, {n_frames * frame_len})"
+    )
+    header = F.concat(
+        F.lit(_VMAGIC),
+        F.lit(struct.pack(">HH", n_frames, frame_len)),
+        body_full,
+    )
+    return d.select("doc_id", header.alias("video"))
+
+
+def sample_frames(videos: DataFrame, every_k: int = 3) -> DataFrame:
+    """Every k-th frame as its own row — the video twin of frame-level
+    training-data extraction. Arrow-batched; output fans out rows (explode
+    shape), still shuffle-free."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["video"]):
+                b = bytes(buf)
+                if len(b) < 8 or b[:4] != _VMAGIC:
+                    continue
+                n_frames, frame_len = struct.unpack(">HH", b[4:8])
+                frames = b[8:]
+                for i in range(0, n_frames, every_k):
+                    rows.append((doc_id, i, frames[i * frame_len : (i + 1) * frame_len]))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return videos.mapInPandas(sample, schema=FRAME_SCHEMA)

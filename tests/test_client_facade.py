@@ -1,0 +1,95 @@
+"""Client-facade TCK: the reference's navigation and consumer loop shape.
+
+Mirrors MessiClientTck.java's usage pattern: client → topicOf → shardOf →
+producer/streamingConsumer, receive-until-null, seek interleaving."""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from messikinesisprovider_spark.client import MessiClient
+from messikinesisprovider_spark.log import UnsupportedOperation
+
+T0 = datetime(2026, 7, 1, tzinfo=timezone.utc)
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    return MessiClient(spark, str(tmp_path / "clog"), n_shards=1)
+
+
+def _publish_abcd(client):
+    producer = client.topic_of("the-topic").producer()
+    for i, e in enumerate("abcd"):
+        producer.publish(
+            {"partition_key": "pk1", "external_id": e}, now=T0 + timedelta(milliseconds=10 * i)
+        )
+
+
+def test_receive_until_null(client):
+    _publish_abcd(client)
+    topic = client.topic_of("the-topic")
+    shard = topic.shard_of(topic.first_shard())
+    consumer = shard.streaming_consumer(shard.cursor_at_trim_horizon())
+    got = []
+    while (m := consumer.receive()) is not None:
+        got.append(m["external_id"])
+    assert got == ["a", "b", "c", "d"]
+
+
+def test_checkpoint_roundtrip_through_facade(client):
+    _publish_abcd(client)
+    topic = client.topic_of("the-topic")
+    shard = topic.shard_of(topic.first_shard())
+    consumer = shard.streaming_consumer(shard.cursor_at_trim_horizon())
+    consumer.receive()  # a
+    b = consumer.receive()
+    ckpt = shard.cursor_after(b).checkpoint()
+    resumed = shard.streaming_consumer(shard.cursor_of_checkpoint(ckpt))
+    assert [resumed.receive()["external_id"], resumed.receive()["external_id"]] == ["c", "d"]
+    assert resumed.receive() is None
+
+
+def test_seek_interleaved(client):
+    # MessiClientTck.java:434-467: forward and backward seeks on one consumer
+    _publish_abcd(client)
+    topic = client.topic_of("the-topic")
+    shard = topic.shard_of(topic.first_shard())
+    consumer = shard.streaming_consumer(shard.cursor_at_trim_horizon())
+    assert consumer.receive()["external_id"] == "a"
+    consumer.seek(T0 + timedelta(milliseconds=25))
+    assert consumer.receive()["external_id"] == "d"
+    consumer.seek(T0 + timedelta(milliseconds=5))
+    assert consumer.receive()["external_id"] == "b"
+
+
+def test_shards_shared_across_topics(client):
+    t1, t2 = client.topic_of("t1"), client.topic_of("t2")
+    assert t1.shards() == t2.shards()
+
+
+def test_unsupported_surface(client):
+    with pytest.raises(UnsupportedOperation):
+        client.last_message("t", "0")
+    with pytest.raises(UnsupportedOperation):
+        client.metadata_client()
+    topic = client.topic_of("t")
+    consumer = topic.shard_of(topic.first_shard()).streaming_consumer(
+        topic.shard_of(topic.first_shard()).cursor_at_trim_horizon()
+    )
+    with pytest.raises(UnsupportedOperation):
+        consumer.current_position()
+
+
+def test_closed_client_rejects(client):
+    client.close()
+    assert client.is_closed()
+    with pytest.raises(RuntimeError):
+        client.topic_of("t")
+
+
+def test_empty_topic_receives_null(client):
+    topic = client.topic_of("nothing-here")
+    shard = topic.shard_of(topic.first_shard())
+    consumer = shard.streaming_consumer(shard.cursor_at_trim_horizon())
+    assert consumer.receive() is None

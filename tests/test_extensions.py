@@ -130,3 +130,28 @@ def test_winnowing_detects_shared_substrings(spark):
     assert shared, "same long substring must share fingerprints"
     disjoint = set(winnow_fingerprints_py(base)) & set(winnow_fingerprints_py(other))
     assert len(disjoint) <= 1  # unrelated text: at most accidental overlap
+
+
+def test_multimodal_resize_clamps_dimensions(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    images = multimodal.synthesize_image_column(d)
+    resized = multimodal.resize_image_meta(images, max_dim=128).collect()
+    assert len(resized) == 60
+    for r in resized:
+        assert max(r["width"], r["height"]) <= 128 or not r["was_resized"]
+    # resized payloads still decode through the standard decoder
+    redecoded = multimodal.decode_image_meta(
+        spark.createDataFrame(
+            [(r["doc_id"], bytes(r["image"])) for r in resized], ["doc_id", "image"]
+        )
+    ).collect()
+    assert all(r["decode_ok"] for r in redecoded)
+
+
+def test_multimodal_frame_sampling(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    videos = multimodal.synthesize_video_column(d, n_frames=12, frame_len=16)
+    frames = multimodal.sample_frames(videos, every_k=3).collect()
+    assert len(frames) == 20 * 4  # frames 0,3,6,9
+    assert all(len(bytes(f["frame"])) == 16 for f in frames)
+    assert sorted({f["frame_idx"] for f in frames}) == [0, 3, 6, 9]
