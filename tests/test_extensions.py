@@ -155,3 +155,35 @@ def test_multimodal_frame_sampling(spark):
     assert len(frames) == 20 * 4  # frames 0,3,6,9
     assert all(len(bytes(f["frame"])) == 16 for f in frames)
     assert sorted({f["frame_idx"] for f in frames}) == [0, 3, 6, 9]
+
+
+def test_hashed_embeddings_invariants(spark):
+    from messikinesisprovider_spark.operators import embeddings_text as et
+    import numpy as np
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    vecs = {r["doc_id"]: np.array(r["vec"]) for r in et.hashed_text_embeddings(d).collect()}
+    # unit norms, deterministic across runs
+    for v in vecs.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    vecs2 = {r["doc_id"]: np.array(r["vec"]) for r in et.hashed_text_embeddings(d).collect()}
+    assert all(np.array_equal(vecs[k], vecs2[k]) for k in vecs)
+    # a near-duplicate text embeds closer than an unrelated one
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    doc0 = min(texts)
+    near = texts[doc0] + " extra token"
+    far = "zzz yyy xxx www vvv uuu ttt sss"
+    probe = spark.createDataFrame([(9001, near), (9002, far)], ["doc_id", "text"])
+    pv = {r["doc_id"]: np.array(r["vec"]) for r in et.hashed_text_embeddings(probe).collect()}
+    assert vecs[doc0] @ pv[9001] > vecs[doc0] @ pv[9002]
+
+
+def test_poll_policy_constants():
+    from messikinesisprovider_spark.streaming.policy import REFERENCE_POLICY
+
+    assert REFERENCE_POLICY.poll_interval_ms == 1000
+    assert REFERENCE_POLICY.rate_limit_backoff_ms == 3000
+    assert REFERENCE_POLICY.error_retry_ms == 1000
+    assert REFERENCE_POLICY.trigger() == {"processingTime": "1000 milliseconds"}
+    assert REFERENCE_POLICY.trigger(backfill=True) == {"availableNow": True}
+    assert REFERENCE_POLICY.source_options() == {"maxrecordspershard": "1000"}
