@@ -403,3 +403,112 @@ def validate_ordering_groups(log: "MessiLog") -> DataFrame:
     return with_prev.filter(
         F.col("prev_seq").isNotNull() & (F.col("ordering_seq") < F.col("prev_seq"))
     )
+
+
+def ingest_dataframe(
+    log: "MessiLog",
+    df: DataFrame,
+    topic: str,
+    now: datetime | None = None,
+) -> None:
+    """Distributed bulk publish: the scale path next to `MessiLog.publish`.
+
+    `publish` is the client API (driver-side, one batch, exact reference
+    semantics); ingest_dataframe is what a backfill/migration of 100 TB uses:
+
+    1. shard routing as a JVM expression (same md5 math as shard_for_key);
+    2. repartition by shard — each output shard is written by its own tasks;
+    3. per-partition monotonic ULIDs from an Arrow stage (the distributed
+       answer to the reference's single-process AtomicReference,
+       KinesisMessiProducer.java:32-33 / SURVEY §7.4 item 1): strictly
+       increasing within each writer, globally time-sortable via the shared
+       millisecond prefix, unique via per-(partition, pid) random tails;
+    4. dense per-shard sequence numbers via one window over the shard
+       (broker order = ULID order for a single bulk batch);
+    5. one distributed parquet write, partitioned by shard.
+
+    Input df columns: partition_key (required), external_id, ordering_group,
+    ordering_seq, ts, data, attributes, source_client_id (all optional).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window as W
+
+    arrival = _utc(now or datetime.now(timezone.utc))
+    arrival_ms = int(arrival.timestamp() * 1000)
+    n_shards = log.n_shards
+    technology = log.technology
+
+    if "partition_key" not in df.columns:
+        raise PublishError("the provider requires a partitionKey")
+
+    # md5-hex first 16 chars == first 8 bytes big-endian == shard_for_key math
+    shard = F.expr(
+        f"CAST(pmod(CAST(conv(substring(md5(partition_key), 1, 16), 16, 10) AS DECIMAL(38,0)), {n_shards}) AS STRING)"
+    )
+    optional = {
+        "external_id": "CAST(NULL AS STRING)",
+        "ordering_group": "CAST(NULL AS STRING)",
+        "ordering_seq": "CAST(NULL AS BIGINT)",
+        "ts": "CAST(NULL AS TIMESTAMP)",
+        "data": "CAST(NULL AS MAP<STRING, BINARY>)",
+        "attributes": "CAST(NULL AS MAP<STRING, STRING>)",
+        "source_client_id": "CAST(NULL AS STRING)",
+    }
+    base = df
+    for col, default in optional.items():
+        if col not in base.columns:
+            base = base.withColumn(col, F.expr(default))
+    if base.filter(F.col("partition_key").isNull() | (F.col("partition_key") == "")).limit(1).count():
+        raise PublishError("the provider requires a partitionKey")
+    routed = base.withColumn("shard_id", shard).repartition(
+        max(n_shards, df.sparkSession.sparkContext.defaultParallelism), "shard_id"
+    )
+
+    def assign_ulids(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        gen = MonotonicUlidGenerator(partition_id=pid)
+        for pdf in batches:
+            ulids = [gen.next(arrival_ms) for _ in range(len(pdf))]
+            pdf = pdf.assign(
+                ulid_msb=[u.msb for u in ulids],
+                ulid_lsb=[u.lsb for u in ulids],
+                ulid=[u.text() for u in ulids],
+            )
+            yield pdf
+
+    with_ulids_schema = T.StructType(
+        list(routed.schema.fields)
+        + [
+            T.StructField("ulid_msb", T.LongType(), False),
+            T.StructField("ulid_lsb", T.LongType(), False),
+            T.StructField("ulid", T.StringType(), False),
+        ]
+    )
+    with_ulids = routed.mapInPandas(assign_ulids, schema=with_ulids_schema)
+
+    # dense per-shard sequences, offset past whatever the shard already holds
+    existing = log._sequence_state()
+    offsets = F.create_map(
+        *[x for s, v in existing.items() for x in (F.lit(s), F.lit(v))]
+    )
+    w = W.partitionBy("shard_id").orderBy("ulid")
+    seq = F.row_number().over(w) - 1 + F.coalesce(offsets[F.col("shard_id")], F.lit(0))
+    provider = F.struct(
+        F.lit(technology).alias("technology"),
+        F.lit(arrival_ms).alias("published_ts"),
+        F.col("shard_id").alias("shard_id"),
+        F.lpad(F.col("sequence_number").cast("string"), 12, "0").alias("sequence_number"),
+    )
+    out = (
+        with_ulids.withColumn("sequence_number", seq.cast("long"))
+        .withColumn("topic", F.lit(topic))
+        .withColumn("arrival_ts", F.lit(arrival.replace(tzinfo=None)))
+        .withColumn("provider", provider)
+        .withColumn("first_provider", provider)
+        .select(*[f.name for f in LOG_SCHEMA.fields])
+    )
+    out.write.mode("append").partitionBy("shard_id").parquet(log.root)
+    log._next_seq = None  # force re-read of sequence state

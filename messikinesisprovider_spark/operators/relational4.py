@@ -111,3 +111,36 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"max_by(event_type, {k})").alias("last_event_type"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "time_bucket_sliding",
+    oracle=f"""
+    WITH cand AS (
+      SELECT event_type, value,
+             UNNEST([
+               to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
+               to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT))
+             ]) AS w_start,
+             ts
+      FROM events
+    )
+    SELECT w_start::TIMESTAMP AS window_start, event_type,
+           COUNT(*) AS n_events,
+           {_osum("value", "sum_value")}
+    FROM cand
+    WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
+    GROUP BY w_start, event_type
+    """,
+    description="Sliding windows (1 h window, 30 min slide): each event lands in two windows",
+    tags=("window-time", "sliding", "agg", "streaming-analog"),
+)
+def time_bucket_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )

@@ -157,8 +157,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).withColumn(
-        "fv", array_to_vector(F.col("v"))
+    # persist: KMeans iterates over its input — uncached, every iteration
+    # would recompute the unit-vector projection from parquet
+    e = (
+        _unit_vectors(tbl(spark, sf_dir, "embeddings"))
+        .withColumn("fv", array_to_vector(F.col("v")))
+        .persist()
     )
     km = KMeans(k=N_IVF_CELLS, seed=42, maxIter=10, featuresCol="fv", predictionCol="cell")
     model = km.fit(e.select("fv"))
