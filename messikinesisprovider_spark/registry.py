@@ -63,5 +63,6 @@ def all_specs() -> dict[str, QuerySpec]:
         text,
     )
     from . import log as _log  # noqa: F401
+    from .streaming import verified as _verified  # noqa: F401
 
     return dict(_REGISTRY)
