@@ -171,3 +171,51 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue"))
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH trade AS (
+      SELECT CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+             sn.n_name AS supp_nation,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    )
+    SELECT order_year,
+           CAST(ROUND(
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) AS nation3_share
+    FROM trade
+    GROUP BY order_year
+    """,
+    description="TPC-H Q8 shape: one nation's (NATION_3) market share of total trade volume per year",
+    tags=("tpch", "join", "agg", "ratio"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("n_name").alias("supp_nation"),
+            F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))").alias("volume"),
+        )
+    )
+    return trade.groupBy("order_year").agg(
+        F.round(
+            F.expr("CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)")
+            / F.expr("CAST(SUM(volume) AS DOUBLE)"),
+            6,
+        )
+        .cast("double")
+        .alias("nation3_share")
+    )

@@ -144,3 +144,34 @@ def time_bucket_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
         )
     )
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT o_orderkey,
+           m['status'][1] AS status_v,
+           CAST(cardinality(m) AS INT) AS n_keys,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+           array_to_string(list_sort(map_values(m)), ',') AS values_sorted
+    FROM (
+      SELECT o_orderkey,
+             map(['status', 'prio'], [o_orderstatus, o_orderpriority]) AS m
+      FROM orders WHERE o_orderkey % 150 = 0
+    )
+    """,
+    description="Map construction, element access, keys/values extraction (MessiMessage.attributes analog)",
+    tags=("scalar", "map"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 150 == 0)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_v"),
+        F.size(m).cast("int").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_values(m)), ",").alias("values_sorted"),
+    )
