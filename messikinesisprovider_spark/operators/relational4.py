@@ -175,3 +175,40 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.array_join(F.array_sort(F.map_values(m)), ",").alias("values_sorted"),
     )
+
+
+@register(
+    "numeric_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(ln(o_totalprice), 6) AS DOUBLE) AS ln_price,
+           CAST(ROUND(log10(o_totalprice), 6) AS DOUBLE) AS log10_price,
+           CAST(ROUND(exp(o_totalprice / 100000.0), 6) AS DOUBLE) AS exp_scaled,
+           CAST(ROUND(pow(o_totalprice, 0.5), 6) AS DOUBLE) AS sqrt_via_pow,
+           CAST(ROUND(sin(o_totalprice / 10000.0), 6) AS DOUBLE) AS sin_scaled,
+           CAST(ROUND(atan2(o_totalprice, 100000.0), 6) AS DOUBLE) AS atan2_v,
+           CAST(sign(o_totalprice - 100000.0) AS DOUBLE) AS sign_v,
+           CAST(greatest(o_totalprice, 100000.0) AS DOUBLE) AS greatest_v,
+           CAST(least(o_totalprice, 100000.0) AS DOUBLE) AS least_v
+    FROM orders
+    WHERE o_orderkey % 120 = 0
+    """,
+    description="Numeric/math function family (ln/log10/exp/pow/trig/sign/greatest), 6dp-rounded",
+    tags=("scalar", "math"),
+)
+def numeric_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round(…, 6) absorbs any last-ulp libm differences between JVM Math and
+    # DuckDB's libm — values this size agree to ~1e-15 relative.
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 120 == 0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.log(F.col("o_totalprice")), 6).cast("double").alias("ln_price"),
+        F.round(F.log10("o_totalprice"), 6).cast("double").alias("log10_price"),
+        F.round(F.exp(F.col("o_totalprice") / 100000.0), 6).cast("double").alias("exp_scaled"),
+        F.round(F.pow("o_totalprice", F.lit(0.5)), 6).cast("double").alias("sqrt_via_pow"),
+        F.round(F.sin(F.col("o_totalprice") / 10000.0), 6).cast("double").alias("sin_scaled"),
+        F.round(F.atan2(F.col("o_totalprice"), F.lit(100000.0)), 6).cast("double").alias("atan2_v"),
+        F.signum(F.col("o_totalprice") - 100000.0).cast("double").alias("sign_v"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).cast("double").alias("greatest_v"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).cast("double").alias("least_v"),
+    )

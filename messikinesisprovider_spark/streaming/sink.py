@@ -87,3 +87,36 @@ def foreach_batch_publisher(
             publish_with_retry(records, transport, max_rounds=max_rounds)
 
     return handle
+
+
+def foreach_partition_publisher(
+    transport_factory: Callable[[], Callable[[list[dict]], None]],
+    max_rounds: int = 10,
+    batch_size: int = 500,
+):
+    """Executor-side variant of foreach_batch_publisher for cluster-scale
+    sinks: each partition opens its own transport (factory must be
+    serializable) and publishes its rows in `batch_size` chunks — the analog
+    of the reference's one-PutRecords-per-500-records ceiling — with the same
+    failed-subset retry loop per chunk.
+
+    Usage:
+        df.writeStream.foreachBatch(foreach_partition_publisher(make_transport))
+    The returned function is also directly usable on a batch DataFrame.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int = 0) -> None:
+        def publish_partition(rows_iter) -> None:
+            transport = transport_factory()
+            chunk: list[dict] = []
+            for row in rows_iter:
+                chunk.append(row.asDict(recursive=True))
+                if len(chunk) >= batch_size:
+                    publish_with_retry(chunk, transport, max_rounds=max_rounds)
+                    chunk = []
+            if chunk:
+                publish_with_retry(chunk, transport, max_rounds=max_rounds)
+
+        batch_df.foreachPartition(publish_partition)
+
+    return handle

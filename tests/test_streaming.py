@@ -172,3 +172,42 @@ def test_foreach_batch_publisher_end_to_end(spark, seeded_log, tmp_path):
     )
     q.awaitTermination()
     assert sorted(r["external_id"] for r in sim.all_records()) == ["a", "b", "c", "d"]
+
+
+def test_foreach_partition_publisher_executor_side(spark, seeded_log, tmp_path):
+    import glob
+    import json
+    import os
+    import uuid
+
+    from messikinesisprovider_spark.streaming.sink import foreach_partition_publisher
+
+    out_dir = str(tmp_path / "sunk")
+    os.makedirs(out_dir)
+
+    def make_transport():
+        # executor-side transport: append each batch as one JSON file
+        def send(records):
+            path = os.path.join(out_dir, f"batch-{uuid.uuid4().hex}.json")
+            with open(path, "w") as f:
+                json.dump([r["external_id"] for r in records], f)
+
+        return send
+
+    q = (
+        consume.stream_log(spark, seeded_log.root)
+        .writeStream.foreachBatch(foreach_partition_publisher(make_transport, batch_size=2))
+        .option("checkpointLocation", str(tmp_path / "fp_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sent = []
+    for path in glob.glob(os.path.join(out_dir, "*.json")):
+        with open(path) as f:
+            sent += json.load(f)
+    assert sorted(sent) == ["a", "b", "c", "d"]
+    # chunking honored: no file carries more than batch_size records
+    for path in glob.glob(os.path.join(out_dir, "*.json")):
+        with open(path) as f:
+            assert len(json.load(f)) <= 2
