@@ -42,7 +42,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode("text", "utf-8")
     return d.select(
         "doc_id",
-        F.octet_length(payload).alias("n_bytes"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
         F.sha2(payload, 256).alias("content_sha256"),
     )
 

@@ -486,7 +486,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .select("c_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
     )
 
@@ -538,9 +538,9 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         "s_name",
         "s_acctbal",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
 
 
@@ -640,7 +640,7 @@ def scalar_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.upper("o_orderpriority").alias("prio_upper"),
         F.substring("o_orderstatus", 1, 1).alias("status_c"),
-        F.length("o_orderpriority").alias("prio_len"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
         F.year("o_orderdate").cast("int").alias("order_year"),
         F.month("o_orderdate").cast("int").alias("order_month"),

@@ -365,7 +365,7 @@ def string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.substring("text", 1, 20), F.lit(" "), F.lit("_")).alias("head_snake"),
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
         F.expr("split_part(text, ' ', 1)").alias("first_word"),
-        F.expr("position(' ' IN text)").alias("first_space"),
+        F.expr("CAST(position(' ' IN text) AS BIGINT)").alias("first_space"),
         F.reverse(F.substring("text", 1, 10)).alias("rev_head"),
         F.repeat(F.lit("ab"), 3).alias("repeated"),
     )
@@ -377,7 +377,7 @@ def string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey,
            (o_orderdate + INTERVAL 30 DAY)::TIMESTAMP AS due_date,
            date_trunc('month', o_orderdate)::TIMESTAMP AS order_month,
-           last_day(o_orderdate::DATE) AS month_end,
+           last_day(o_orderdate::DATE)::TIMESTAMP AS month_end,
            CAST(dayofweek(o_orderdate) AS INT) AS dow,
            CAST(quarter(o_orderdate) AS INT) AS qtr,
            CAST(date_diff('day', o_orderdate, TIMESTAMP '1999-01-01') AS BIGINT) AS days_to_1999
@@ -393,7 +393,7 @@ def date_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
         F.date_trunc("month", "o_orderdate").alias("order_month"),
-        F.last_day("o_orderdate").alias("month_end"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
         # Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6
         (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
         F.quarter("o_orderdate").cast("int").alias("qtr"),

@@ -126,7 +126,7 @@ def regexp_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
         F.regexp_replace("text", r"\b(the|a)\b", "_").alias("articles_masked_head"),
         F.col("text").rlike("value.*table").alias("has_value_then_table"),
-        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("n_consonant_chars"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("bigint").alias("n_consonant_chars"),
     )
 
 

@@ -52,9 +52,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
         F.round(F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 6)
         .cast("double")
         .alias("ttr"),
@@ -76,10 +76,10 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).alias(
-            "n_bpe_ish_tokens"
-        ),
-        F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).alias("n_number_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("bigint")
+        .alias("n_bpe_ish_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).cast("bigint").alias("n_number_tokens"),
     )
 
 
@@ -117,7 +117,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_len = F.col("n_chars") * F.lit(1.0) / n_toks
     return t.select(
         "doc_id",
-        n_toks.alias("n_tokens"),
+        n_toks.cast("bigint").alias("n_tokens"),
         F.round(
             F.size(F.expr(f"filter(toks, x -> x IN ({en}))")) * F.lit(1.0) / n_toks, 6
         )

@@ -52,6 +52,17 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         problems.append(f"columns spark={sc} duck={dc}")
         return problems
     a, b = canon(spark_pdf), canon(duck_pdf)
+    # dtype drift doesn't fail the value compare but may fail a strict
+    # schema hash — surface it loudly. Exception: Spark's toPandas always
+    # yields datetime64[ns] while DuckDB yields [us]; same instants, not
+    # controllable from query code, so it's a note rather than a failure.
+    for col in a.columns:
+        da, db = str(a[col].dtype), str(b[col].dtype)
+        if da != db:
+            if {da, db} == {"datetime64[ns]", "datetime64[us]"}:
+                print(f"      note  {col}: timestamp unit ns (spark pandas) vs us (duckdb)")
+            else:
+                problems.append(f"DTYPE col {col}: spark={da} duck={db}")
     if len(a) == len(b):
         for col in a.columns:
             av, bv = a[col], b[col]
