@@ -212,3 +212,43 @@ def numeric_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("o_totalprice"), F.lit(100000.0)).cast("double").alias("greatest_v"),
         F.least(F.col("o_totalprice"), F.lit(100000.0)).cast("double").alias("least_v"),
     )
+
+
+@register(
+    "dataset_split",
+    oracle="""
+    SELECT split_name, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM (
+      SELECT doc_id,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 10 < 8
+                 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 10 = 8
+                 THEN 'validation'
+               ELSE 'test'
+             END AS split_name
+      FROM documents
+    )
+    GROUP BY split_name
+    """,
+    description="Deterministic 80/10/10 train/val/test split via salted content hash",
+    tags=("sample", "split", "extension"),
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split every training pipeline needs: derived from a salted hash of
+    the stable id, so membership is reproducible across engines, runs, and
+    repartitions — no RAND(), no global sort. The salt isolates this split
+    from any other hash use of the same ids."""
+    d = tbl(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':split')), 1, 8), 16, 10) AS BIGINT) % 10"
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "validation").otherwise("test")
+    )
+    return (
+        d.withColumn("split_name", split)
+        .groupBy("split_name")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
