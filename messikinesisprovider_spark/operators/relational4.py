@@ -252,3 +252,50 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_name")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
+
+
+@register(
+    "calendar_spine_join",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n, 
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1
+    )
+    SELECT s.day::TIMESTAMP AS day,
+           COALESCE(d.n, 0) AS n_events,
+           COALESCE(d.sum_value, 0.0) AS sum_value
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+    description="Calendar-spine join: dense daily series with zero-filled gaps (sequence + explode + outer join)",
+    tags=("spine", "temporal", "join", "explode"),
+)
+def calendar_spine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time series from sparse events: generate the day spine with
+    sequence() (no driver loop — the spine is one row exploded), then left
+    join daily aggregates. The canonical gap-filling shape for reporting and
+    feature windows."""
+    ev = events_tbl(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"), F.date_trunc("day", F.max("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 DAY)")).alias("day")
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), dsum("value", "sum_value_raw")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value_raw", F.lit(0.0)).alias("sum_value"),
+        )
+    )
