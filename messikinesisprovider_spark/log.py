@@ -146,7 +146,7 @@ class MessiLog:
                     external_id=m.get("external_id"),
                     ordering_group=m.get("ordering_group"),
                     ordering_seq=m.get("ordering_seq"),
-                    ts=_utc(m["ts"]).replace(tzinfo=None) if m.get("ts") else None,
+                    ts=_naive(_utc(m["ts"])) if m.get("ts") else None,
                     data=m.get("data"),
                     attributes=m.get("attributes"),
                     # first_provider is preserved if already set, else stamped
@@ -156,7 +156,7 @@ class MessiLog:
                     source_client_id=m.get("source_client_id"),
                     shard_id=shard,
                     sequence_number=seq,
-                    arrival_ts=arrival.replace(tzinfo=None),
+                    arrival_ts=_naive(arrival),
                 )
             )
         df = self.spark.createDataFrame([Row(**r) for r in stamped], schema=LOG_SCHEMA)

@@ -108,12 +108,59 @@ class MessiLogStreamReader(DataSourceStreamReader):
 
     Offset json: {"0": 12, "1": 7} = next sequence to deliver per shard —
     exactly an AT_PROVIDER_SEQUENCE cursor per shard (P4).
+
+    Restart safety: a fresh reader instance cannot see the engine's committed
+    checkpoint before the first `partitions(start, end)` call, so a blind
+    `latestOffset()` under `maxrecordspershard` admission could plan an end
+    behind the committed start. Two guards make this harmless:
+
+    * ``_start_hwm`` records the highest start the engine has *asked us to
+      read from*; `latestOffset()` never plans below it, and `partitions()`
+      clamps a regressed start back up to it — so a transiently regressed
+      offset in the engine's log can never re-deliver rows (no duplicates).
+    * Optional ``consumergroup`` option: `commit(end)` durably records the
+      committed offsets at ``<root>/_consumers/<group>.json`` (atomic
+      rename), and a fresh reader baselines `latestOffset()` from that file.
+      This is the analog of the reference's broker-side progress tracking
+      (FileBasedProgressTracker debounce / KCL lease table): one active query
+      per consumer group. Without it, a restarted availableNow drain with
+      admission enabled may need extra drains to advance past the committed
+      position (a continuously-triggered stream self-heals either way).
     """
 
     def __init__(self, options):
         self.root = options["path"]
         self.max_per_shard = int(options.get("maxrecordspershard", _DEFAULT_MAX_PER_SHARD))
         self.starting = options.get("startingposition", "TRIM_HORIZON").upper()
+        self.group = options.get("consumergroup")
+        self._start_hwm: dict[str, int] = {}
+        self._last_planned: dict[str, int] | None = None
+
+    # -- durable consumer-group offsets ------------------------------------
+    def _group_path(self) -> str:
+        return os.path.join(self.root, "_consumers", f"{self.group}.json")
+
+    def _load_group_offsets(self) -> dict:
+        if not self.group:
+            return {}
+        try:
+            with open(self._group_path()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _save_group_offsets(self, offsets: dict) -> None:
+        path = self._group_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(offsets, f)
+        os.replace(tmp, path)  # atomic on POSIX
+
+    def _bump_hwm(self, offsets: dict) -> None:
+        for sid, seq in offsets.items():
+            if seq > self._start_hwm.get(sid, 0):
+                self._start_hwm[sid] = seq
 
     def initialOffset(self) -> dict:
         shards = _shard_dirs(self.root)
@@ -123,8 +170,15 @@ class MessiLogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         # Admission control: advance at most max_per_shard per microbatch —
-        # the microbatch analog of the bounded prefetch buffer (F1).
-        current = getattr(self, "_last_planned", None) or self.initialOffset()
+        # the microbatch analog of the bounded prefetch buffer (F1). The
+        # planning baseline is the max of everything we know: in-memory
+        # progress, starts the engine has planned, and (if configured) the
+        # consumer group's durable committed offsets.
+        current = dict(self.initialOffset())
+        for known in (self._load_group_offsets(), self._start_hwm, self._last_planned or {}):
+            for sid, seq in known.items():
+                if seq > current.get(sid, 0):
+                    current[sid] = seq
         out = {}
         for sid, d in _shard_dirs(self.root).items():
             avail = _max_seq(d) + 1
@@ -134,10 +188,14 @@ class MessiLogStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict):
+        # Clamp a regressed start up to the highest start already planned in
+        # this instance (see class docstring) BEFORE recording the new hwm.
+        clamped = {sid: max(seq, self._start_hwm.get(sid, 0)) for sid, seq in start.items()}
+        self._bump_hwm(start)
         shards = _shard_dirs(self.root)
         parts = []
         for sid, end_seq in end.items():
-            start_seq = start.get(sid, 0)
+            start_seq = clamped.get(sid, 0)
             if end_seq > start_seq and sid in shards:
                 parts.append(ShardSlice(sid, shards[sid], start_seq, end_seq))
         return parts or [ShardSlice("__empty__", self.root, 0, 0)]
@@ -148,10 +206,18 @@ class MessiLogStreamReader(DataSourceStreamReader):
         return _read_slice(partition)
 
     def commit(self, end: dict) -> None:
-        # Offsets are durably stored by the engine's checkpoint log; nothing
-        # to acknowledge broker-side for a file-backed log. (The reference's
-        # FileBasedProgressTracker debounce is superseded by this.)
-        pass
+        # The engine's checkpoint log is the source of truth; the optional
+        # consumer-group file lets a *fresh* reader instance baseline its
+        # planning at the committed position (the reference's
+        # FileBasedProgressTracker role, debounce superseded by microbatch
+        # cadence). Never move the durable offsets backwards.
+        self._bump_hwm(end)
+        if self.group:
+            merged = self._load_group_offsets()
+            for sid, seq in end.items():
+                if seq > merged.get(sid, 0):
+                    merged[sid] = seq
+            self._save_group_offsets(merged)
 
 
 class MessiLogDataSource(DataSource):

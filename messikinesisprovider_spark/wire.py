@@ -125,6 +125,12 @@ def decode_message(buf: bytes) -> dict:
         elif wt == _WT_VARINT:
             val, i = _read_varint(buf, i)
             payload = None
+        elif wt == 1:  # fixed64: no known field uses it — skip 8 bytes
+            i += 8
+            continue
+        elif wt == 5:  # fixed32: skip 4 bytes (forward compatibility)
+            i += 4
+            continue
         else:
             raise ValueError(f"unsupported wire type {wt}")
         name = rev.get(field)

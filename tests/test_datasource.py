@@ -96,6 +96,86 @@ def test_stream_incremental_restart(spark, log, tmp_path):
     assert out2.filter(out2.external_id == "new").count() == 1
 
 
+def test_restart_offset_regression_never_redelivers(log):
+    """A fresh reader (post-restart) planning behind the committed offset must
+    not re-deliver rows: latestOffset never goes below a start the engine has
+    already planned, and a regressed start is clamped back up (ADVICE r1)."""
+    committed = {  # a committed position >1 admission-batch into each shard
+        sid: min(4, messilog_source._max_seq(d) + 1)
+        for sid, d in messilog_source._shard_dirs(log.root).items()
+    }
+    reader = messilog_source.MessiLogStreamReader(
+        {"path": log.root, "maxrecordspershard": "2"}
+    )
+    # Blind first plan after restart: may fall behind the committed start.
+    regressed = reader.latestOffset()
+    assert all(v <= 2 for v in regressed.values())
+    # The engine plans (committed, regressed): must yield no slices (end<start)
+    parts = reader.partitions(committed, regressed)
+    assert [p for p in parts if p.shard_id != "__empty__"] == []
+    # Next plan must have recovered to >= committed for every shard.
+    healed = reader.latestOffset()
+    assert all(healed[s] >= committed[s] for s in committed)
+    # Engine's next start is the regressed end; the clamp must prevent any
+    # slice from starting below the committed position (no duplicates).
+    parts2 = reader.partitions(regressed, healed)
+    for p in parts2:
+        if p.shard_id != "__empty__":
+            assert p.start_seq >= committed[p.shard_id]
+
+
+def test_consumer_group_offsets_survive_restart(log):
+    """With consumergroup set, commit() durably records offsets and a fresh
+    reader baselines its planning there — bounded admission stays live and
+    exactly-once across restarts even for single-batch availableNow drains."""
+    opts = {"path": log.root, "maxrecordspershard": "2", "consumergroup": "g1"}
+    r1 = messilog_source.MessiLogStreamReader(opts)
+    start = r1.initialOffset()
+    end1 = r1.latestOffset()
+    list(r1.partitions(start, end1))
+    r1.commit(end1)
+    # fresh instance = restart: first plan starts from the committed offsets
+    r2 = messilog_source.MessiLogStreamReader(opts)
+    end2 = r2.latestOffset()
+    assert all(end2[s] >= end1[s] for s in end1)
+    assert all(end2[s] <= end1[s] + 2 for s in end1)  # admission still bounds
+    parts = r2.partitions(end1, end2)
+    for p in parts:
+        if p.shard_id != "__empty__":
+            assert p.start_seq >= end1[p.shard_id]
+
+
+def test_consumer_group_drains_to_completion_with_admission(spark, log, tmp_path):
+    """End-to-end: repeated availableNow drains (each a cold restart) with
+    maxrecordspershard=2 eventually deliver all rows exactly once."""
+    ckpt, out_dir = str(tmp_path / "cg"), str(tmp_path / "outcg")
+
+    def drain_once():
+        q = (
+            spark.readStream.format("messilog")
+            .option("path", log.root)
+            .option("maxrecordspershard", "2")
+            .option("consumergroup", "cgdrain")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    total = 0
+    for _ in range(8):  # 10 rows / (2 shards * 2 per batch) = 3 drains needed
+        total = drain_once().count()
+        if total == 10:
+            break
+    out = drain_once()
+    assert out.count() == 10
+    assert out.select("shard_id", "sequence_number").distinct().count() == 10
+
+
 def test_admission_control_bounds_each_microbatch(log):
     # Spark's Python DataSource API can't announce AvailableNow support, so
     # an availableNow query collapses to a single batch; assert the admission
