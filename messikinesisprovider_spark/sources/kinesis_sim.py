@@ -1,0 +1,261 @@
+"""Read/write Kinesis broker simulator with a boto3-shaped API.
+
+The reference tests its consumer stack against an in-process fake broker
+implementing getShardIterator/getRecords with fault injection
+(simulator/KinesisAsyncClientSimulator.java:39-254, KinesisShardStream.java).
+This is its twin, with two deliberate differences:
+
+* **File-backed state.** Spark's Python DataSource planning and reading run
+  in separate forked worker processes, so an in-memory fake would be invisible
+  to them. All broker state lives under a state directory: any process that
+  constructs ``FakeKinesisClient(statedir)`` sees the same streams — which is
+  exactly how the real broker behaves across a cluster.
+* **Multi-shard streams.** The reference simulator supports a single shard
+  (KinesisAsyncClientSimulator.java:85-87); we route put_records by an md5 of
+  the partition key across N shards, matching the real service's contract.
+
+Iterator format: ``"<shard_id>;<seq12>;<epoch>"`` (reference's
+``shardId;sequenceNumber`` plus an epoch, KinesisAsyncClientSimulator.java:
+208-212). ``expire_all_iterators()`` bumps the epoch so every outstanding
+iterator raises ``ExpiredIterator`` on next use — the test hook for the F5
+recovery path. ``trigger_rate_limit_on_next_get_records()`` is the armed-once
+fault flag of the reference (:60-62,183-189).
+
+Sequence numbers are zero-padded 12-digit strings (KinesisShardStream.java:
+30-33); AT_TIMESTAMP resolves to the first record whose arrival is >= the
+timestamp, falling through to the next sequence (= LATEST) when none is
+(KinesisShardStream.java:77-87).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import time
+from datetime import datetime, timezone
+
+from ..schema import format_sequence
+
+
+class SimulatorError(Exception):
+    """Base for simulated AWS service errors. `error_code` mirrors the AWS
+    error code string so callers can classify us and botocore.ClientError
+    with the same logic (sources/kinesis.py:error_code)."""
+
+    error_code = "InternalFailure"
+
+
+class ProvisionedThroughputExceeded(SimulatorError):
+    error_code = "ProvisionedThroughputExceededException"
+
+
+class ExpiredIterator(SimulatorError):
+    error_code = "ExpiredIteratorException"
+
+
+class ResourceNotFound(SimulatorError):
+    error_code = "ResourceNotFoundException"
+
+
+def _shard_for_key(pk: str, n_shards: int) -> str:
+    h = int.from_bytes(hashlib.md5((pk or "").encode()).digest()[:8], "big")
+    return str(h % n_shards)
+
+
+class FakeKinesisClient:
+    """boto3-`client("kinesis")`-shaped sync client over a state directory."""
+
+    def __init__(self, statedir: str, clock=None):
+        self.statedir = statedir
+        self.clock = clock or time.time  # epoch seconds; injectable for tests
+        os.makedirs(statedir, exist_ok=True)
+
+    # -- state files -------------------------------------------------------
+    def _streams_path(self) -> str:
+        return os.path.join(self.statedir, "streams.json")
+
+    def _faults_path(self) -> str:
+        return os.path.join(self.statedir, "faults.json")
+
+    def _shard_path(self, stream: str, shard_id: str) -> str:
+        return os.path.join(self.statedir, f"stream_{stream}", f"shard_{shard_id}.jsonl")
+
+    def _load(self, path: str, default):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return default
+
+    def _store(self, path: str, obj) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)
+
+    def _streams(self) -> dict:
+        return self._load(self._streams_path(), {})
+
+    def _faults(self) -> dict:
+        return self._load(self._faults_path(), {"rate_limit_next": False, "epoch": 0})
+
+    # -- fault injection (test hooks) --------------------------------------
+    def trigger_rate_limit_on_next_get_records(self) -> None:
+        f = self._faults()
+        f["rate_limit_next"] = True
+        self._store(self._faults_path(), f)
+
+    def expire_all_iterators(self) -> None:
+        f = self._faults()
+        f["epoch"] = f.get("epoch", 0) + 1
+        self._store(self._faults_path(), f)
+
+    # -- admin API (KinesisAsyncClientSimulator.java:74-127) ---------------
+    def create_stream(self, StreamName: str, ShardCount: int = 1) -> dict:
+        streams = self._streams()
+        if StreamName not in streams:
+            streams[StreamName] = [str(i) for i in range(ShardCount)]
+            self._store(self._streams_path(), streams)
+            os.makedirs(os.path.join(self.statedir, f"stream_{StreamName}"), exist_ok=True)
+        return {}
+
+    def list_streams(self, Limit: int = 100, ExclusiveStartStreamName: str | None = None) -> dict:
+        names = sorted(self._streams())
+        if ExclusiveStartStreamName is not None:
+            names = [n for n in names if n > ExclusiveStartStreamName]
+        page = names[:Limit]
+        return {"StreamNames": page, "HasMoreStreams": len(names) > len(page)}
+
+    def describe_stream(self, StreamName: str, Limit: int = 10) -> dict:
+        streams = self._streams()
+        if StreamName not in streams:
+            raise ResourceNotFound(f"Stream does not exist: {StreamName}")
+        return {
+            "StreamDescription": {
+                "StreamName": StreamName,
+                "StreamStatus": "ACTIVE",
+                "Shards": [{"ShardId": sid} for sid in streams[StreamName]],
+            }
+        }
+
+    # -- data plane --------------------------------------------------------
+    def _read_shard(self, stream: str, shard_id: str) -> list[dict]:
+        try:
+            with open(self._shard_path(stream, shard_id)) as f:
+                return [json.loads(line) for line in f if line.strip()]
+        except OSError:
+            return []
+
+    def put_records(self, StreamName: str, Records: list[dict]) -> dict:
+        streams = self._streams()
+        if StreamName not in streams:
+            raise ResourceNotFound(f"streamName does not exist: '{StreamName}'")
+        shards = streams[StreamName]
+        now_ms = int(self.clock() * 1000)
+        results = []
+        appends: dict[str, list[dict]] = {}
+        counts = {sid: len(self._read_shard(StreamName, sid)) for sid in shards}
+        for rec in Records:
+            data = rec["Data"]
+            if isinstance(data, str):
+                data = data.encode()
+            sid = _shard_for_key(rec["PartitionKey"], len(shards))
+            seq = format_sequence(counts[sid])
+            counts[sid] += 1
+            appends.setdefault(sid, []).append(
+                {
+                    "seq": seq,
+                    "partition_key": rec["PartitionKey"],
+                    "data": base64.b64encode(data).decode(),
+                    "arrival_ms": now_ms,
+                }
+            )
+            results.append({"ShardId": sid, "SequenceNumber": seq})
+        for sid, rows in appends.items():
+            with open(self._shard_path(StreamName, sid), "a") as f:
+                f.write("".join(json.dumps(r) + "\n" for r in rows))
+        return {"FailedRecordCount": 0, "Records": results}
+
+    def get_shard_iterator(
+        self,
+        StreamName: str,
+        ShardId: str,
+        ShardIteratorType: str,
+        StartingSequenceNumber: str | None = None,
+        Timestamp=None,
+    ) -> dict:
+        streams = self._streams()
+        if StreamName not in streams:
+            raise ResourceNotFound(f"streamName does not exist: '{StreamName}'")
+        if ShardId not in streams[StreamName]:
+            raise ResourceNotFound(f"stream does not contain shardId: '{ShardId}'")
+        records = self._read_shard(StreamName, ShardId)
+        if ShardIteratorType == "AT_SEQUENCE_NUMBER":
+            seq = int(StartingSequenceNumber)
+        elif ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
+            seq = int(StartingSequenceNumber) + 1
+        elif ShardIteratorType == "TRIM_HORIZON":
+            seq = 0
+        elif ShardIteratorType == "LATEST":
+            seq = len(records)
+        elif ShardIteratorType == "AT_TIMESTAMP":
+            ts = Timestamp
+            if isinstance(ts, datetime):
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=timezone.utc)
+                ts_ms = int(ts.timestamp() * 1000)
+            else:
+                ts_ms = int(float(ts) * 1000)
+            seq = len(records)  # falls through to LATEST if none at/after ts
+            for i, r in enumerate(records):
+                if r["arrival_ms"] >= ts_ms:
+                    seq = i
+                    break
+        else:
+            raise ValueError(f"shardIteratorType unknown: {ShardIteratorType}")
+        epoch = self._faults().get("epoch", 0)
+        return {"ShardIterator": f"{StreamName}|{ShardId};{format_sequence(seq)};{epoch}"}
+
+    def get_records(self, ShardIterator: str, Limit: int = 1000) -> dict:
+        if not 1 <= Limit <= 10000:
+            raise ValueError("limit must be between 1 and 10000")
+        stream, rest = ShardIterator.split("|", 1)
+        shard_id, seq_s, epoch_s = rest.split(";")
+        faults = self._faults()
+        if int(epoch_s) != faults.get("epoch", 0):
+            raise ExpiredIterator("Iterator expired")
+        if faults.get("rate_limit_next"):
+            faults["rate_limit_next"] = False
+            self._store(self._faults_path(), faults)
+            raise ProvisionedThroughputExceeded(
+                f"Rate exceeded for shard {shard_id} in stream {stream}"
+            )
+        records = self._read_shard(stream, shard_id)
+        start = int(seq_s)
+        page = records[start : start + Limit]
+        next_seq = int(page[-1]["seq"]) + 1 if page else start
+        out = [
+            {
+                "SequenceNumber": r["seq"],
+                "PartitionKey": r["partition_key"],
+                "Data": base64.b64decode(r["data"]),
+                "ApproximateArrivalTimestamp": datetime.fromtimestamp(
+                    r["arrival_ms"] / 1000, tz=timezone.utc
+                ),
+            }
+            for r in page
+        ]
+        return {
+            "Records": out,
+            "NextShardIterator": f"{stream}|{shard_id};{format_sequence(next_seq)};{faults.get('epoch', 0)}",
+            "MillisBehindLatest": 1000 * max(0, len(records) - next_seq),
+        }
+
+
+def client_from_options(options: dict) -> FakeKinesisClient:
+    """Client factory entry point for the Spark source (see kinesis_source.py):
+    option ``clientfactory=messikinesisprovider_spark.sources.kinesis_sim:client_from_options``
+    plus ``statedir=...`` reconstructs the simulator in any worker process."""
+    return FakeKinesisClient(options["statedir"])
