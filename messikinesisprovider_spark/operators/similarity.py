@@ -7,10 +7,16 @@ Two paths, mirroring what a 100 TB pipeline needs:
   projection (no Python in the loop: dot product is a sequential SQL
   `aggregate` fold, bit-reproducible and identical to the DuckDB oracle's
   sequential list fold). Per-query top-k via window rank.
-- Random-hyperplane LSH bucketing — the scale path: 16 deterministic
-  hyperplanes (seeded NumPy) → 16-bit bucket id; candidates probe only their
-  bucket (multi-probe: Hamming-1 neighbors), then exact rerank. Corpus-side
-  bucket assignment is one pass; the bucket join replaces the cross join.
+- Random-hyperplane LSH bucketing — the scale path: 6 deterministic
+  hyperplanes (seeded NumPy) → 64 buckets; each query probes its own bucket
+  plus all Hamming-1 neighbors (7 buckets total), then exact rerank within
+  the probed buckets. Corpus-side bucket assignment is one pass; the bucket
+  join replaces the cross join.
+- IVF coarse quantization — the scale path for clustered corpora: the
+  quantizer is trained ONCE on a bounded sample (driver-side Lloyd's, cached
+  per dataset via build_ivf_index) and the query plan is pure Catalyst —
+  centroid literals, nearest-cell assignment and probing are SQL
+  expressions, no ML fit in the query DAG.
 """
 
 from __future__ import annotations
@@ -115,20 +121,35 @@ def lsh_bucket_expr(vec_col: str) -> "F.Column":
 @register(
     "sim_ann_lsh",
     oracle=None,  # approximate by construction; recall vs brute force checked in tests
-    description="ANN top-k via random-hyperplane LSH buckets + exact rerank within bucket",
+    description="ANN top-k via random-hyperplane LSH, Hamming-1 multi-probe + exact rerank",
     tags=("similarity", "lsh", "ann", "extension"),
 )
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_lsh(spark: SparkSession, sf_dir: str, multiprobe: bool = True) -> DataFrame:
+    """Each query probes its own bucket plus (with `multiprobe`) every bucket
+    one bit-flip away — the standard Hamming-1 multi-probe that recovers
+    neighbors lost to a single near-boundary hyperplane vote. Probe buckets
+    are distinct, so a candidate pair is produced at most once; the corpus
+    side is never exploded, only the small broadcast query side (x7)."""
     e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).withColumn(
         "bucket", lsh_bucket_expr("v")
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).alias("q")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    if multiprobe:
+        probes = F.expr(
+            f"array_union(array(bucket), transform(sequence(0, {N_PLANES - 1}), "
+            f"i -> bucket ^ shiftleft(1L, i)))"
+        )
+        q = q.withColumn("probe_bucket", F.explode(probes))
+    else:
+        q = q.withColumn("probe_bucket", F.col("bucket"))
+    q = q.alias("q")
     c = e.alias("c")
     cos = F.round(F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm")), 6).cast("double")
     scored = (
         c.join(
             F.broadcast(q),
-            (F.col("c.bucket") == F.col("q.bucket")) & (F.col("c.vec_id") != F.col("q.vec_id")),
+            (F.col("c.bucket") == F.col("q.probe_bucket"))
+            & (F.col("c.vec_id") != F.col("q.vec_id")),
         )
         .select(
             F.col("q.vec_id").alias("query_id"),
@@ -145,46 +166,83 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_IVF_CELLS = 16
 N_PROBE = 3
+IVF_TRAIN_SAMPLE = 4096
+_IVF_CACHE: dict[str, list[list[float]]] = {}
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = N_IVF_CELLS,
+    sample_n: int = IVF_TRAIN_SAMPLE,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer ONCE per dataset and cache the
+    centroids (the offline index-build step every IVF system has). Training
+    is driver-side Lloyd's over a bounded, deterministic sample — at 100 TB
+    a 4k-vector sample still characterizes the cell structure, and the scan
+    to collect it is a single column-pruned limit. The returned centroids are
+    plain floats that downstream queries embed as SQL literals, so query
+    plans contain no ML stages at all."""
+    key = f"{sf_dir}|{k}|{sample_n}"
+    cached = _IVF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    rows = (
+        tbl(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .limit(sample_n)
+        .select("embedding")
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(42)
+    centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        dists = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        labels = dists.argmin(axis=1)
+        for j in range(len(centers)):
+            members = x[labels == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    result = centers.round(6).tolist()
+    _IVF_CACHE[key] = result
+    return result
 
 
 @register(
     "sim_ann_ivf",
     oracle=None,  # trained quantizer; structure + agreement with brute force tested
-    description=f"ANN top-{TOP_K} via IVF: KMeans({N_IVF_CELLS}) coarse quantizer, probe {N_PROBE} cells, exact rerank",
+    description=f"ANN top-{TOP_K} via IVF: sampled quantizer ({N_IVF_CELLS} cells, cached), probe {N_PROBE} cells, exact rerank",
     tags=("similarity", "ivf", "ann", "extension"),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF — the scale path for clustered corpora: one KMeans pass assigns
-    every vector to a cell (shuffle-free after broadcast of centroids);
+    """IVF — the scale path for clustered corpora: centroid literals assign
+    every vector to a cell in one codegen'd pass (no shuffle, no ML stage);
     queries probe their N_PROBE nearest cells, so the exact rerank touches
     ~N_PROBE/N_IVF_CELLS of the corpus instead of all of it. At 100 TB the
-    quantizer is trained once on a sample and the cell id becomes a partition
-    column — cell probing is then partition pruning."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # persist: KMeans iterates over its input — uncached, every iteration
-    # would recompute the unit-vector projection from parquet
-    e = (
-        _unit_vectors(tbl(spark, sf_dir, "embeddings"))
-        .withColumn("fv", array_to_vector(F.col("v")))
-        .persist()
-    )
-    km = KMeans(k=N_IVF_CELLS, seed=42, maxIter=10, featuresCol="fv", predictionCol="cell")
-    model = km.fit(e.select("fv"))
-    centers = model.clusterCenters()
+    cell id becomes a partition column — cell probing is then partition
+    pruning. The quantizer comes from build_ivf_index (trained once on a
+    sample, cached); reference parity: the ANN role KinesisStreamingBuffer
+    has no analog for — this is pipeline-extension surface."""
+    centers = build_ivf_index(spark, sf_dir)
     centers_sql = (
         "array("
         + ", ".join("array(" + ", ".join(f"{x}D" for x in c) + ")" for c in centers)
         + ")"
     )
-    # per-row: distances to all centroids → indices of the N_PROBE nearest
-    probe_cells = F.expr(
-        f"slice(transform(array_sort(transform(sequence(0, {N_IVF_CELLS - 1}), "
-        f"c -> struct(aggregate(zip_with({centers_sql}[c], v, (w, x) -> (w - x) * (w - x)), 0D, "
-        f"(s, d) -> s + d) AS dist, c AS cell))), s -> s.cell), 1, {N_PROBE})"
-    )
-    assigned = model.transform(e).select("vec_id", "v", "nrm", "cell")
+    n_cells = len(centers)
+    # per-row: distances to all centroids → indices of the N nearest cells
+    def nearest_cells(n: int):
+        return F.expr(
+            f"slice(transform(array_sort(transform(sequence(0, {n_cells - 1}), "
+            f"c -> struct(aggregate(zip_with({centers_sql}[c], v, (w, x) -> (w - x) * (w - x)), 0D, "
+            f"(s, d) -> s + d) AS dist, c AS cell))), s -> s.cell), 1, {n})"
+        )
+
+    e = _unit_vectors(tbl(spark, sf_dir, "embeddings"))
+    assigned = e.withColumn("cell", nearest_cells(1)[0]).select("vec_id", "v", "nrm", "cell")
+    probe_cells = nearest_cells(N_PROBE)
     q = (
         assigned.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("probe", probe_cells)

@@ -45,20 +45,25 @@ def test_exact_dedup_counts_consistent(spark):
     assert groups.agg(F.sum("n_copies")).collect()[0][0] == total
 
 
-def test_ann_lsh_recall_vs_bruteforce(spark):
+def test_ann_lsh_multiprobe_recall_vs_bruteforce(spark):
     brute = {
         (r["query_id"], r["neighbor_id"])
         for r in similarity.sim_topk_bruteforce(spark, SF).collect()
     }
-    ann = {
+    multi = {
         (r["query_id"], r["neighbor_id"])
-        for r in similarity.sim_ann_lsh(spark, SF).collect()
+        for r in similarity.sim_ann_lsh(spark, SF, multiprobe=True).collect()
     }
-    # On a near-isotropic corpus single-probe LSH recall is modest; the
-    # operator contract is: every ANN result is a true same-bucket neighbor
-    # and ranks correctly. Require non-trivial overlap to catch wiring bugs.
-    assert len(ann) > 0
-    assert len(ann & brute) >= 1
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.sim_ann_lsh(spark, SF, multiprobe=False).collect()
+    }
+    # The synthetic corpus is near-isotropic — LSH's worst case — so the
+    # pinned floor is modest; measured: multi-probe 0.20 vs single 0.05.
+    recall = len(multi & brute) / len(brute)
+    assert recall >= 0.15, f"multi-probe recall {recall} below floor"
+    # Hamming-1 probing must strictly dominate exact-bucket probing.
+    assert len(multi & brute) > len(single & brute)
 
 
 def test_lsh_bucket_is_deterministic(spark):
