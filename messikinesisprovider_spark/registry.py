@@ -50,6 +50,7 @@ def register(name: str, oracle: str | None, description: str = "", tags: tuple[s
 def all_specs() -> dict[str, QuerySpec]:
     # Import side-effect modules that register their specs.
     from .operators import (  # noqa: F401
+        bucketed,
         clusters,
         dedup,
         embeddings_text,

@@ -192,3 +192,101 @@ def test_poll_policy_constants():
     assert REFERENCE_POLICY.trigger() == {"processingTime": "1000 milliseconds"}
     assert REFERENCE_POLICY.trigger(backfill=True) == {"availableNow": True}
     assert REFERENCE_POLICY.source_options() == {"maxrecordspershard": "1000"}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Large-star/small-star CC vs a driver-side union-find oracle on a graph
+    with the shapes that stress the algorithm: a long chain (diameter), a hub
+    star (fan-in), a triangle-bridge mesh, and singleton pairs."""
+    import random
+
+    from messikinesisprovider_spark.operators.clusters import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    edges += [(i, i + 1) for i in range(0, 40)]          # chain 0..40
+    edges += [(100, 100 + i) for i in range(1, 30)]      # hub star
+    edges += [(200, 201), (201, 202), (202, 200), (202, 203)]  # mesh + bridge
+    edges += [(300 + 2 * i, 301 + 2 * i) for i in range(10)]   # pair islands
+    extra = [(rng.randint(0, 450), rng.randint(0, 450)) for _ in range(60)]
+    edges += [(a, b) for a, b in extra if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical label = min node per component
+    comp_of = {}
+    for n in list(parent):
+        root = find(n)
+        comp_of.setdefault(root, []).append(n)
+    expected = {}
+    for members in comp_of.values():
+        lo = min(members)
+        for m in members:
+            expected[m] = lo
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_shingle_df_cap_drops_hot_shingles(spark, tmp_path, monkeypatch):
+    """With a binding cap, a stop-phrase shared by every doc must not create
+    candidate pairs on its own; rare-shingle similarity still surfaces."""
+    from messikinesisprovider_spark.operators import dedup as dd
+
+    stop = "the common header line"  # 4 tokens → two 3-gram shingles, df = n
+    docs = [(i, f"{stop} unique{i} token{i} filler{i} words{i}") for i in range(20)]
+    # docs 100/101: real near-dups sharing a rare 5-token tail
+    docs += [(100, f"{stop} alpha beta gamma delta epsilon"),
+             (101, f"{stop} alpha beta gamma delta epsilon")]
+    out = str(tmp_path / "docs")
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(f"{out}/documents.parquet")
+
+    capped = dd.dedup_ngram_jaccard(spark, out, max_shingle_df=5).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (100, 101) in pairs  # rare-shingle similarity survives the cap
+    # the stop-phrase alone (df=22 > cap) may not connect unrelated docs
+    assert all({a, b} == {100, 101} for a, b in pairs)
+    # and jaccard for the surviving pair is computed on the capped space: 1.0
+    j = [r["jaccard"] for r in capped if (r["doc_a"], r["doc_b"]) == (100, 101)][0]
+    assert j == 1.0
+
+    uncapped = dd.dedup_ngram_jaccard(spark, out, max_shingle_df=10_000).collect()
+    assert len(uncapped) >= len(capped)  # cap only ever removes candidates
+
+
+def test_minhash_bucket_cap_drops_giant_buckets(spark, tmp_path):
+    """An exact-duplicate cluster shares every band; with a binding bucket cap
+    those pairs drop (dedup_exact's job), while smaller near-dup buckets
+    survive."""
+    from messikinesisprovider_spark.operators import dedup as dd
+
+    clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(i, clone) for i in range(12)]  # 12-way exact-dup cluster
+    docs += [(200, "one two three four five six seven eight nine ten"),
+             (201, "one two three four five six seven eight nine eleven")]
+    out = str(tmp_path / "docs")
+    spark.createDataFrame(docs, ["doc_id", "text"]).write.parquet(f"{out}/documents.parquet")
+
+    capped = {(r["doc_a"], r["doc_b"]) for r in dd.dedup_minhash_lsh(spark, out, max_bucket_size=5).collect()}
+    assert (200, 201) in capped  # small-bucket near-dups survive
+    assert not any(a < 12 and b < 12 for a, b in capped)  # giant cluster dropped
+    full = {(r["doc_a"], r["doc_b"]) for r in dd.dedup_minhash_lsh(spark, out, max_bucket_size=1_000).collect()}
+    assert (0, 1) in full  # without a binding cap the cluster pairs are back

@@ -64,3 +64,24 @@ def test_events_time_filter_prunes_columns(spark):
     df = q(spark, "cursor_scan_from_time")
     schemas = inspect.read_schemas(df)
     assert all("props" not in s for s in schemas), "unused props column must be pruned"
+
+
+def test_bucketed_join_query_has_no_join_exchange(spark):
+    """join_bucketed_colocated: sort-merge join fed directly by bucketed
+    scans — the only Exchange allowed is the final small aggregation's."""
+    # simple plan prints parent-first: everything after SortMergeJoin is the
+    # join's input subtree, where an Exchange would mean a shuffled join
+    plan = inspect.simple_plan(q(spark, "join_bucketed_colocated"))
+    assert "SortMergeJoin" in plan
+    join_inputs = plan.split("SortMergeJoin")[-1]
+    assert "Exchange" not in join_inputs, plan
+    assert "SelectedBucketsCount: 16 out of 16" in inspect.physical_plan(
+        q(spark, "join_bucketed_colocated")
+    )
+
+
+def test_ivf_query_plan_has_no_ml_stages(spark):
+    """sim_ann_ivf must be pure Catalyst at query time: the quantizer is a
+    literal, so no MLlib stages and no extra scan for training."""
+    plan = inspect.physical_plan(q(spark, "sim_ann_ivf"))
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
