@@ -71,11 +71,19 @@ def main():
         if os.path.isdir(warm_dir) or os.path.exists(warm_dir):
             specs[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # Two timed passes, per-query min. Single-shot timings on a shared 32-core
+    # box swing 2-5x from JIT/GC/page-cache noise (measured: dedup_simhash
+    # 1.5s vs 8.3s across back-to-back runs); min-of-2 reports steady-state
+    # execution, which is what a cluster job actually pays. Caches are cleared
+    # between passes so pass 2 re-runs the full plan, not a cached subtree.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        specs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        spark.catalog.clearCache()
+        for name in HEADLINE:
+            t0 = time.time()
+            specs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
