@@ -66,4 +66,9 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import log as _log  # noqa: F401
     from .streaming import verified as _verified  # noqa: F401
 
+    # Imported last on purpose: the driver's correctness harness walks the
+    # registry in insertion order, so round-over-round additions must append,
+    # never reorder existing entries.
+    from .operators import tpch_suite  # noqa: F401
+
     return dict(_REGISTRY)
