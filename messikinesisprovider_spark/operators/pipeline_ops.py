@@ -1,0 +1,255 @@
+"""Training-data pipeline operators, part 2: PII scrubbing, stratified
+sampling, eval-set decontamination, and repetition-based quality filtering.
+
+These extend the dedup/similarity/text families with the remaining stages a
+large-scale corpus pipeline runs between "raw crawl" and "training shards".
+All four are pure Catalyst (no Python UDFs) and each documents its 100 TB
+plan in the docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from .dedup import _SHINGLES, _SHINGLES_DUCK
+from .relational import tbl
+
+
+# Deterministic synthetic PII: the corpus is synthetic and contains none, so
+# the scrub operator plants its own (one fake email or phone per selected
+# doc, derived from doc_id) and then removes it — exercising the real regex
+# path with verifiable nonzero work.
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9]+\.[a-z]{2,4}"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  WHEN doc_id % 3 = 1
+                  THEN text || ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 today'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           LENGTH(text) - LENGTH(regexp_replace(regexp_replace(text,
+                 '{_EMAIL_RE}', '', 'g'), '{_PHONE_RE}', '', 'g')) AS n_pii_chars,
+           LENGTH(regexp_replace(regexp_replace(text,
+                 '{_EMAIL_RE}', '[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_len
+    FROM planted
+    WHERE doc_id % 5 = 0
+    """,
+    description="PII scrub: email/phone regex redaction with per-doc removed-char counts",
+    tags=("text", "pii", "extension"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction entirely in whole-stage codegen — the scrub itself is
+    a per-row map, so at 100 TB it is embarrassingly parallel with zero
+    shuffle; only the scan and write matter."""
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-0199 today"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    )
+    stripped = F.regexp_replace(F.regexp_replace("text", _EMAIL_RE, ""), _PHONE_RE, "")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return planted.select(
+        "doc_id",
+        (F.length("text") - F.length(stripped)).cast("bigint").alias("n_pii_chars"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    )
+
+
+# Per-language keep rates: downsample the dominant language, keep the tail.
+_STRATA_RATES = {"en": 0.5, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 0.25}
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8) AS INT64)
+                  AS DOUBLE) / 4294967296.0 AS u
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN u < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 ELSE 1.0 END
+                 THEN 1 END) AS n_kept
+    FROM tagged
+    GROUP BY lang
+    """,
+    description="Stratified sampling: per-language keep rates via salted content hash "
+    "(reproducible across engines, runs, and repartitions)",
+    tags=("sample", "stratified", "extension"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing downsample, the way corpus pipelines actually do
+    it: membership is a pure function of (id, salt), so the sample is
+    reproducible shard-independently and re-runs don't churn the corpus.
+    No shuffle at all for the sampling itself (the groupBy here is only the
+    report); at 100 TB the kept rows stream straight to the writer.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))), 1, 8), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    rate = F.when(F.col("lang") == "en", 0.5).when(F.col("lang") == "fr", 0.25).otherwise(1.0)
+    return (
+        d.withColumn("u", u)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("u") < rate, 1)).alias("n_kept"),
+        )
+    )
+
+
+CONTAMINATION_MIN_SHARED = 8
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, UNNEST(list_distinct({_SHINGLES_DUCK})) AS g
+      FROM documents
+    ),
+    eval_sh AS (SELECT doc_id, g FROM sh WHERE source = 'src0'),
+    train_sh AS (SELECT doc_id, source, g FROM sh WHERE source <> 'src0'),
+    hits AS (
+      SELECT t.source, t.doc_id AS train_doc, e.doc_id AS eval_doc, COUNT(*) AS n_shared
+      FROM train_sh t JOIN eval_sh e ON t.g = e.g
+      GROUP BY t.source, t.doc_id, e.doc_id
+      HAVING COUNT(*) >= {CONTAMINATION_MIN_SHARED}
+    )
+    SELECT source,
+           COUNT(*) AS n_contaminated_pairs,
+           COUNT(DISTINCT train_doc) AS n_train_docs,
+           COUNT(DISTINCT eval_doc) AS n_eval_docs
+    FROM hits
+    GROUP BY source
+    """,
+    description="Eval-set decontamination: train docs sharing >= K shingles with a "
+    "held-out source, reported per training source",
+    tags=("dedup", "contamination", "extension"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap detection (the decontamination pass every training
+    corpus runs before sharding).
+
+    Scale shape: the eval set is benchmarks — thousands of docs against a
+    100 TB corpus — so its shingle table is BROADCAST and the corpus-side
+    scan joins against it with no shuffle of the corpus at all; only the
+    (tiny) hit set aggregates. This asymmetry is what makes the operator
+    different from the symmetric self-join dedups in dedup.py.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.expr(_SHINGLES))).alias("gs")
+    ).select("doc_id", "source", F.xxhash64("gs").alias("g"))
+    # xxhash64 on both sides of the join only (never surfaced): the oracle
+    # joins on raw shingle strings — identical pair semantics, narrower
+    # shuffle rows here.
+    eval_sh = sh.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("eval_doc"), "g"
+    )
+    train_sh = sh.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("train_doc"), "source", "g"
+    )
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "g")
+        .groupBy("source", "train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAMINATION_MIN_SHARED)
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_contaminated_pairs"),
+        F.count_distinct("train_doc").alias("n_train_docs"),
+        F.count_distinct("eval_doc").alias("n_eval_docs"),
+    )
+
+
+REPETITION_MAX_RATIO = 0.2
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({_SHINGLES_DUCK}) AS g
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    freq AS (
+      SELECT doc_id, g, COUNT(*) AS f
+      FROM sh GROUP BY doc_id, g
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             MAX(f) AS top_gram_count,
+             CAST(SUM(f) AS BIGINT) AS n_grams
+      FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, top_gram_count, n_grams,
+           CAST(ROUND(top_gram_count * 1.0 / n_grams, 6) AS DOUBLE) AS repetition_ratio,
+           top_gram_count * 1.0 / n_grams > {REPETITION_MAX_RATIO} AS flagged
+    FROM per_doc
+    """,
+    description="Repetition quality filter: top-trigram share of all trigrams per doc "
+    "(Gopher-style repetition rule)",
+    tags=("text", "quality", "extension"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: a document whose single most frequent
+    trigram covers more than 20% of its trigrams is boilerplate or spam.
+
+    Plan: explode → two aggregations, both keyed by doc_id, so the second
+    reuses the first's partitioning (one shuffle total). At 100 TB the
+    explode inflates rows ~|words| per doc but never leaves its partition
+    until the doc_id-keyed aggregate — no wide intermediate state.
+    """
+    d = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    sh = d.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("g"))
+    freq = sh.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("f"))
+    per_doc = freq.groupBy("doc_id").agg(
+        F.max("f").alias("top_gram_count"), F.sum("f").alias("n_grams")
+    )
+    ratio = F.col("top_gram_count") * F.lit(1.0) / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        "top_gram_count",
+        "n_grams",
+        F.round(ratio, 6).cast("double").alias("repetition_ratio"),
+        (ratio > REPETITION_MAX_RATIO).alias("flagged"),
+    )

@@ -70,5 +70,6 @@ def all_specs() -> dict[str, QuerySpec]:
     # registry in insertion order, so round-over-round additions must append,
     # never reorder existing entries.
     from .operators import tpch_suite  # noqa: F401
+    from .operators import pipeline_ops  # noqa: F401
 
     return dict(_REGISTRY)
