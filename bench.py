@@ -50,6 +50,12 @@ HEADLINE = [
     # Catalyst); the applyInPandas variant stays oracle-checked in the
     # registry but out of the headline timing.
     "user_features_builtin",
+    # round 2 additions: heaviest representatives of the completed TPC-H
+    # suite and the corpus-pipeline family.
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
+    "contamination_check",
+    "text_repetition_ratio",
 ]
 
 

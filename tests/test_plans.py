@@ -85,3 +85,46 @@ def test_ivf_query_plan_has_no_ml_stages(spark):
     literal, so no MLlib stages and no extra scan for training."""
     plan = inspect.physical_plan(q(spark, "sim_ann_ivf"))
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_tpch_q6_predicates_all_push_to_scan(spark):
+    pushed = " ".join(inspect.pushed_filters(q(spark, "tpch_q6_forecast_revenue")))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_tpch_q2_no_cartesian_and_min_via_window(spark):
+    plan = inspect.physical_plan(q(spark, "tpch_q2_min_cost_supplier"))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # groupwise min is a window, not a rejoined subquery
+
+
+def test_tpch_q21_single_lineitem_orders_join_shape(spark):
+    """The EXISTS/NOT EXISTS pair must collapse into one per-order aggregate:
+    exactly one lineitem-orders join subtree feeding both the late lines and
+    the order stats, never three correlated rescans."""
+    plan = inspect.physical_plan(q(spark, "tpch_q21_waiting_supplier"))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    # both distinct-counts come from one aggregation pipeline (expand node)
+    assert "Expand" in plan
+
+
+def test_tpch_q16_excluded_suppliers_are_anti_join(spark):
+    plan = inspect.physical_plan(q(spark, "tpch_q16_supplier_count"))
+    assert "LeftAnti" in plan
+
+
+def test_tpch_q17_avg_threshold_is_aggregate_then_join(spark):
+    # correlated scalar subquery decorrelated: no nested-loop per-row rescan
+    plan = inspect.physical_plan(q(spark, "tpch_q17_small_quantity_revenue"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for avg and sum
+
+
+def test_contamination_corpus_side_never_shuffles_before_join(spark):
+    """The training-corpus scan must flow into a broadcast join (eval side
+    built) with no Exchange between scan and join."""
+    plan = inspect.simple_plan(q(spark, "contamination_check"))
+    join_inputs = plan.split("BroadcastHashJoin")[-1]
+    scan_part = join_inputs.split("Scan parquet")[0] if "Scan parquet" in join_inputs else join_inputs
+    assert "Exchange hashpartitioning" not in scan_part, plan
