@@ -7,11 +7,11 @@ Two paths, mirroring what a 100 TB pipeline needs:
   projection (no Python in the loop: dot product is a sequential SQL
   `aggregate` fold, bit-reproducible and identical to the DuckDB oracle's
   sequential list fold). Per-query top-k via window rank.
-- Random-hyperplane LSH bucketing — the scale path: 6 deterministic
-  hyperplanes (seeded NumPy) → 64 buckets; each query probes its own bucket
-  plus all Hamming-1 neighbors (7 buckets total), then exact rerank within
-  the probed buckets. Corpus-side bucket assignment is one pass; the bucket
-  join replaces the cross join.
+- Multi-table random-hyperplane LSH — the scale path: 4 independent tables
+  of 8 seeded hyperplanes (OR-construction); each query probes its bucket in
+  every table plus all Hamming-1 neighbors (9 buckets/table), then exact
+  rerank over the deduped candidates. The corpus contributes a slim
+  (vec_id, table, bucket) index, never exploded vectors.
 - IVF coarse quantization — the scale path for clustered corpora: the
   quantizer is trained ONCE on a bounded sample (driver-side Lloyd's, cached
   per dataset via build_ivf_index) and the query plan is pure Catalyst —
@@ -92,70 +92,92 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 6 planes → 64 buckets: sized so the near-isotropic test corpus still puts
-# a handful of candidates in each query's bucket; a clustered real corpus
-# would use 16+ planes with multi-probe.
-N_PLANES = 6
+# Multi-table LSH (OR-construction): L independent tables of b hyperplanes.
+# One table ANDs its b bits, so per-table recall is ~p^b and misses are
+# systematic; L independent tables make the misses independent — candidate
+# iff ANY table agrees — lifting recall to 1-(1-p^b)^L at the same probed
+# fraction. Sized at 4x8: each query probes 9/256 of each table (Hamming-1),
+# ~14% of the corpus before dedup.
+N_PLANES = 8
+N_TABLES = 4
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes() -> list[list[list[float]]]:
     rng = np.random.default_rng(42)
-    return rng.standard_normal((N_PLANES, DIM)).round(6).tolist()
+    return rng.standard_normal((N_TABLES, N_PLANES, DIM)).round(6).tolist()
 
 
-def lsh_bucket_expr(vec_col: str) -> "F.Column":
-    """16-bit random-hyperplane bucket id as a single JVM-side expression."""
+def lsh_buckets_expr(vec_col: str) -> "F.Column":
+    """array<bigint> of length N_TABLES: the vector's bucket in each table,
+    computed in one JVM-side expression (constant-folded plane literals)."""
     planes = _hyperplanes()
     planes_sql = (
         "array("
-        + ", ".join("array(" + ", ".join(f"{x}D" for x in p) + ")" for p in planes)
+        + ", ".join(
+            "array("
+            + ", ".join("array(" + ", ".join(f"{x}D" for x in p) + ")" for p in tb)
+            + ")"
+            for tb in planes
+        )
         + ")"
     )
     return F.expr(
+        f"transform(sequence(0, {N_TABLES - 1}), t -> "
         f"aggregate(sequence(0, {N_PLANES - 1}), 0L, (acc, p) -> acc * 2 + "
-        f"CASE WHEN aggregate(zip_with({planes_sql}[p], {vec_col}, (w, x) -> w * x), 0D, "
-        f"(s, d) -> s + d) > 0 THEN 1 ELSE 0 END)"
+        f"CASE WHEN aggregate(zip_with({planes_sql}[t][p], {vec_col}, (w, x) -> w * x), 0D, "
+        f"(s, d) -> s + d) > 0 THEN 1 ELSE 0 END))"
     )
 
 
 @register(
     "sim_ann_lsh",
     oracle=None,  # approximate by construction; recall vs brute force checked in tests
-    description="ANN top-k via random-hyperplane LSH, Hamming-1 multi-probe + exact rerank",
+    description=f"ANN top-{TOP_K} via multi-table LSH ({N_TABLES}x{N_PLANES} hyperplanes), "
+    "Hamming-1 multi-probe + exact rerank",
     tags=("similarity", "lsh", "ann", "extension"),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str, multiprobe: bool = True) -> DataFrame:
-    """Each query probes its own bucket plus (with `multiprobe`) every bucket
-    one bit-flip away — the standard Hamming-1 multi-probe that recovers
-    neighbors lost to a single near-boundary hyperplane vote. Probe buckets
-    are distinct, so a candidate pair is produced at most once; the corpus
-    side is never exploded, only the small broadcast query side (x7)."""
+    """Candidate generation via a slim (vec_id, table, bucket) index — the
+    corpus VECTORS are never exploded; only 3-column index rows are, and at
+    100 TB that index is a stored table partitioned by (table, bucket), so a
+    probe is a partition-pruned lookup. Queries probe their bucket in every
+    table plus (with `multiprobe`) all Hamming-1 neighbors; the probe set is
+    a few hundred broadcast rows. Candidates dedup on (query, vec) before
+    the exact rerank fetches vectors back by key."""
     e = _unit_vectors(tbl(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", lsh_bucket_expr("v")
+        "buckets", lsh_buckets_expr("v")
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES)
+    vecs = e.select("vec_id", "v", "nrm").persist()
+    index = e.select("vec_id", F.posexplode("buckets").alias("t", "bucket"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.posexplode("buckets").alias("t", "bucket")
+    )
     if multiprobe:
         probes = F.expr(
             f"array_union(array(bucket), transform(sequence(0, {N_PLANES - 1}), "
             f"i -> bucket ^ shiftleft(1L, i)))"
         )
-        q = q.withColumn("probe_bucket", F.explode(probes))
-    else:
-        q = q.withColumn("probe_bucket", F.col("bucket"))
-    q = q.alias("q")
-    c = e.alias("c")
-    cos = F.round(F.expr(_DOT) / (F.col("q.nrm") * F.col("c.nrm")), 6).cast("double")
+        q = q.select("query_id", "t", F.explode(probes).alias("bucket"))
+    cand = (
+        index.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    qv = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    cos = F.round(
+        F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)")
+        / (F.col("qnrm") * F.col("nrm")),
+        6,
+    ).cast("double")
     scored = (
-        c.join(
-            F.broadcast(q),
-            (F.col("c.bucket") == F.col("q.probe_bucket"))
-            & (F.col("c.vec_id") != F.col("q.vec_id")),
-        )
-        .select(
-            F.col("q.vec_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            cos.alias("cos_sim"),
-        )
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

@@ -59,9 +59,10 @@ def test_ann_lsh_multiprobe_recall_vs_bruteforce(spark):
         for r in similarity.sim_ann_lsh(spark, SF, multiprobe=False).collect()
     }
     # The synthetic corpus is near-isotropic — LSH's worst case — so the
-    # pinned floor is modest; measured: multi-probe 0.20 vs single 0.05.
+    # pinned floor is modest; measured with 4 tables x 8 planes:
+    # multi-probe 0.45 vs single-probe 0.10 at sf0.001.
     recall = len(multi & brute) / len(brute)
-    assert recall >= 0.15, f"multi-probe recall {recall} below floor"
+    assert recall >= 0.30, f"multi-probe recall {recall} below floor"
     # Hamming-1 probing must strictly dominate exact-bucket probing.
     assert len(multi & brute) > len(single & brute)
 
