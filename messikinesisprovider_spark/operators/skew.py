@@ -49,3 +49,32 @@ def salted_join_broadcast_hot_keys(
     cold_fact = fact.filter(~F.col(key).isin(hot_keys))
     hot_dim = dim.filter(F.col(key).isin(hot_keys))
     return hot_fact.join(F.broadcast(hot_dim), key).unionByName(cold_fact.join(dim, key))
+
+
+from ..registry import register
+from .relational import events_tbl
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Skew-proof two-phase salted aggregation over a 5-value hot key "
+    "(bit-identical to the plain groupBy, oracle-checked)",
+    tags=("skew", "agg", "extension"),
+)
+def skew_salted_agg(spark, sf_dir):
+    """The worst realistic skew case: a groupBy key with only a handful of
+    distinct values (event_type), where every row of a 100 TB table funnels
+    into 5 reducers. salted_sum_count spreads each key over 16 salt slots in
+    phase 1, then combines 16 tiny partials per key — identical results
+    (decimal sums are associative), even partitioning. Registered so the
+    skew path itself sits in the driver's correctness gate, not just unit
+    tests."""
+    ev = events_tbl(spark, sf_dir).select("event_type", "value")
+    return salted_sum_count(ev, "event_type", "value", n_salts=16)

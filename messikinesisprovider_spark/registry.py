@@ -71,5 +71,6 @@ def all_specs() -> dict[str, QuerySpec]:
     # never reorder existing entries.
     from .operators import tpch_suite  # noqa: F401
     from .operators import pipeline_ops  # noqa: F401
+    from .operators import skew as _skew  # noqa: F401
 
     return dict(_REGISTRY)

@@ -107,3 +107,67 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).agg(F.count(F.lit(1)).alias("n_unique_messages"))
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts)::TIMESTAMP AS session_start,
+           (MAX(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    description="REAL streaming pipeline: log -> readStream -> session_window(30 min) "
+    "per user -> drain; oracle = gaps-and-islands with Spark's boundary semantics",
+    tags=("streaming", "session", "verified"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session windows through the real source machinery.
+
+    Boundary semantics matter for the oracle twin: Spark's session_window
+    half-open interval means an event exactly `gap` after its predecessor
+    STARTS a new session, so the oracle's gap test is >= (not >) — and
+    session_end is last_event + gap, which the oracle reproduces.
+    """
+    from . import consume
+
+    root = _staged_events_log(spark, sf_dir)
+    stream = consume.stream_log(spark, root)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.col("partition_key"), F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("partition_key").cast("bigint").alias("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = "ssw_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ssw_ckpt_"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
