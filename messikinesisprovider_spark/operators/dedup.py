@@ -418,6 +418,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the "near-dup" bar is calibrated to the top ~0.1% of pairs.
 EMBED_COS_THRESHOLD = 0.38
 
+# All-pairs guard: the exact cosine baseline is O(n²) by construction and
+# must never run standalone on a production-scale table.
+DEDUP_COSINE_MAX_ROWS = 200_000
+
 
 @register(
     "dedup_embedding_cosine",
@@ -437,8 +441,20 @@ EMBED_COS_THRESHOLD = 0.38
     description="Embedding near-dup pairs: pairwise cosine >= threshold (exact baseline)",
     tags=("dedup", "embedding", "extension"),
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, max_rows: int | None = DEDUP_COSINE_MAX_ROWS
+) -> DataFrame:
     e = tbl(spark, sf_dir, "embeddings")
+    if max_rows is not None:
+        # Parquet row count comes from file footers — metadata-only, no scan.
+        n = e.count()
+        if n > max_rows:
+            raise ValueError(
+                f"dedup_embedding_cosine is the O(n²) exact baseline; {n} rows "
+                f"exceeds the {max_rows}-row guard. Use dedup_minhash_lsh / "
+                "sim_ann_lsh / sim_ann_ivf for corpus-scale near-dup detection, "
+                "or pass max_rows=None to force the quadratic plan."
+            )
     withn = spread(e).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),

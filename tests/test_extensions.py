@@ -291,3 +291,12 @@ def test_minhash_bucket_cap_drops_giant_buckets(spark, tmp_path):
     assert not any(a < 12 and b < 12 for a, b in capped)  # giant cluster dropped
     full = {(r["doc_a"], r["doc_b"]) for r in dd.dedup_minhash_lsh(spark, out, max_bucket_size=1_000).collect()}
     assert (0, 1) in full  # without a binding cap the cluster pairs are back
+
+
+def test_embedding_cosine_guard_blocks_large_corpora(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="O\\(n²\\) exact baseline"):
+        dedup.dedup_embedding_cosine(spark, SF, max_rows=10)
+    # explicit opt-out still runs
+    assert dedup.dedup_embedding_cosine(spark, SF, max_rows=None).count() >= 0
