@@ -15,6 +15,8 @@ for PIL/ffmpeg without touching the plan.
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 from collections.abc import Iterator
 
 import pandas as pd
@@ -229,3 +231,66 @@ def sample_frames(videos: DataFrame, every_k: int = 3) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return videos.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: fake PCM container + vectorized feature extraction.
+# ---------------------------------------------------------------------------
+
+_AUDIO_MAGIC = b"FAUD"
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossing_rate", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def synthesize_audio_column(d: DataFrame, sample_rate: int = 16_000) -> DataFrame:
+    """Deterministic fake audio: FAUD magic, u32be sample rate, then the
+    utf-8 text bytes standing in for 8-bit PCM samples."""
+    sr = struct.pack(">I", sample_rate)
+    return d.select(
+        "doc_id",
+        F.concat(F.lit(_AUDIO_MAGIC), F.lit(sr), F.encode("text", "utf-8")).alias("audio"),
+    )
+
+
+def extract_audio_features(audio: DataFrame) -> DataFrame:
+    """mapInPandas feature-extract stage: binary audio → per-clip features.
+
+    The container parse is the honest stub (a real pipeline swaps in
+    soundfile/librosa); the FEATURE math — RMS energy and zero-crossing
+    rate — is real vectorized numpy over the decoded sample array, i.e. the
+    exact compute shape a production extractor has. Arrow-batched, no
+    shuffle, linear in partitions.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["audio"]):
+                b = bytes(buf) if buf is not None else b""
+                if len(b) < 9 or b[:4] != _AUDIO_MAGIC:
+                    rows.append((doc_id, None, None, None, None, None, False))
+                    continue
+                sr = struct.unpack(">I", b[4:8])[0]
+                samples = np.frombuffer(b[8:], dtype=np.uint8).astype(np.float64)
+                samples = (samples - 128.0) / 128.0  # center 8-bit PCM
+                n = len(samples)
+                rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
+                zc = (
+                    float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                rows.append((doc_id, sr, n, n / sr, rms, zc, True))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return audio.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)

@@ -300,3 +300,20 @@ def test_embedding_cosine_guard_blocks_large_corpora(spark):
         dedup.dedup_embedding_cosine(spark, SF, max_rows=10)
     # explicit opt-out still runs
     assert dedup.dedup_embedding_cosine(spark, SF, max_rows=None).count() >= 0
+
+
+def test_multimodal_audio_features(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    audio = multimodal.synthesize_audio_column(d, sample_rate=8000)
+    feats = {r["doc_id"]: r for r in multimodal.extract_audio_features(audio).collect()}
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    assert len(feats) == 30
+    for doc_id, r in feats.items():
+        assert r["decode_ok"] and r["sample_rate"] == 8000
+        assert r["n_samples"] == len(texts[doc_id].encode())
+        assert abs(r["duration_s"] - r["n_samples"] / 8000) < 1e-12
+        assert 0.0 <= r["rms"] <= 1.0 and 0.0 <= r["zero_crossing_rate"] <= 1.0
+    # garbage input surfaces decode_ok=False, never an exception
+    garbage = d.select("doc_id", F.encode("text", "utf-8").alias("audio")).limit(5)
+    bad = multimodal.extract_audio_features(garbage).collect()
+    assert all(not r["decode_ok"] for r in bad)
