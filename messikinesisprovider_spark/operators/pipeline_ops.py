@@ -253,3 +253,54 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).cast("double").alias("repetition_ratio"),
         (ratio > REPETITION_MAX_RATIO).alias("flagged"),
     )
+
+
+CHUNK_TOKENS = 32
+
+
+@register(
+    "text_chunk_udtf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS t
+      FROM documents WHERE doc_id % 6 = 0
+    )
+    SELECT doc_id,
+           CAST(g AS INT) AS chunk_idx,
+           array_to_string(t[g*{CHUNK_TOKENS}+1 : LEAST((g+1)*{CHUNK_TOKENS}, LEN(t))], ' ') AS chunk,
+           CAST(LEAST((g+1)*{CHUNK_TOKENS}, LEN(t)) - g*{CHUNK_TOKENS} AS INT) AS n_tokens
+    FROM toks, UNNEST(range(0, CAST(CEIL(LEN(t) / {CHUNK_TOKENS}.0) AS BIGINT))) AS u(g)
+    """,
+    description=f"Context-window chunking ({CHUNK_TOKENS} tokens) via a Python UDTF "
+    "lateral join — the UDTF API surface, oracle-checked",
+    tags=("text", "udtf", "extension"),
+)
+def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one operator here that is deliberately a Python UDTF: one input
+    row → N output rows with per-row Python logic, the shape Spark's lateral
+    UDTF API exists for. Chunking itself could be an SQL explode — the point
+    is exercising the UDTF surface (SURVEY §2.5's UDF/UDAF/UDTF row) with an
+    oracle-checked example. Row-at-a-time Python is the slow path; for a
+    100 TB chunker you'd use the equivalent explode/sequence SQL, and this
+    docstring says so.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_tokens int")
+    class ChunkText:
+        def eval(self, text: str, chunk_size: int):
+            toks = text.split(" ")
+            for i in range(0, len(toks), chunk_size):
+                part = toks[i : i + chunk_size]
+                yield i // chunk_size, " ".join(part), len(part)
+
+    spark.udtf.register("chunk_text", ChunkText)
+    tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0).createOrReplaceTempView(
+        "_docs_for_chunking"
+    )
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM _docs_for_chunking d, LATERAL chunk_text(d.text, {CHUNK_TOKENS}) c
+        """
+    )
