@@ -304,3 +304,47 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _docs_for_chunking d, LATERAL chunk_text(d.text, {CHUNK_TOKENS}) c
         """
     )
+
+
+@register(
+    "pandas_udaf_weighted_mean",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * (user_id % 5 + 1)) AS DOUBLE)
+           / SUM(user_id % 5 + 1) AS weighted_mean_value
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Grouped-agg pandas UDAF: weighted mean with exact integer-micro "
+    "accumulation (UDAF API surface, oracle-checked)",
+    tags=("udaf", "pandas", "extension"),
+)
+def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF leg of the UDF/UDAF/UDTF surface: a grouped-aggregate pandas
+    UDF. Accumulation converts values to integer micro-units so the sum is
+    exact and order-independent — the same trick the engine's decimal-sum
+    convention uses — making the result bit-identical to the oracle despite
+    arbitrary row order reaching the UDF. Note grouped-agg UDFs skip
+    map-side partial aggregation (whole groups shuffle); the built-in
+    decimal-sum aggregates elsewhere in the registry are the 100 TB path.
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from .relational import events_tbl
+
+    # functionType given explicitly: this module's postponed annotations
+    # (`from __future__ import annotations`) turn type hints into strings,
+    # which pandas_udf's hint-based inference cannot read.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmean(v, w):
+        vi = np.rint(v.to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
+        wi = w.to_numpy(dtype=np.int64)
+        return float((vi * wi).sum() / 1e6) / float(wi.sum())
+
+    ev = events_tbl(spark, sf_dir).select(
+        "event_type", "value", (F.col("user_id") % 5 + 1).alias("w")
+    )
+    return ev.groupBy("event_type").agg(
+        wmean("value", "w").alias("weighted_mean_value")
+    )
