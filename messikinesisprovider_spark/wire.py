@@ -111,8 +111,24 @@ def _read_uvarint(buf: bytes, i: int) -> tuple[int, int]:
 
 def decode_message(buf: bytes) -> dict:
     """protobuf wire bytes → dict; unknown fields are skipped (mergeFrom
-    semantics: forward-compatible)."""
-    msg: dict = {"data": {}, "attributes": {}}
+    semantics: forward-compatible).
+
+    Proto3 default semantics on the read side too: scalar fields absent from
+    the wire (writers skip default values) decode to their defaults, so every
+    envelope key is always present — a reader never key-errors on a message
+    that simply had an empty partition_key."""
+    msg: dict = {
+        "ulid_msb": 0,
+        "ulid_lsb": 0,
+        "partition_key": "",
+        "ordering_group": "",
+        "ordering_seq": 0,
+        "external_id": "",
+        "data": {},
+        "attributes": {},
+        "timestamp_ms": 0,
+        "source_client_id": "",
+    }
     i = 0
     rev = {v: k for k, v in _FIELDS.items()}
     while i < len(buf):
