@@ -105,8 +105,10 @@ def test_tpch_q21_single_lineitem_orders_join_shape(spark):
     plan = inspect.physical_plan(q(spark, "tpch_q21_waiting_supplier"))
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
-    # both distinct-counts come from one aggregation pipeline (expand node)
-    assert "Expand" in plan
+    # distinct counts via two-level aggregation, not count_distinct's Expand
+    # (which would double every fact row before the shuffle)
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 4  # partials at both levels
 
 
 def test_tpch_q16_excluded_suppliers_are_anti_join(spark):
