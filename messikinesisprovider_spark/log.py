@@ -287,6 +287,54 @@ class MessiLog:
             .collect()
         )
 
+    # ----------------------------------------------------------- maintenance
+    def compact(self, max_records_per_file: int = 500_000) -> dict:
+        """Rewrite the log with few, sequence-sorted files per shard.
+
+        Every publish() appends new parquet files, so a long-lived log decays
+        into thousands of tiny files per shard — the classic streaming-log
+        small-file problem; at scale, scan cost becomes file-open cost.
+        Compaction rewrites each shard directory as sequence-sorted files of
+        bounded size. Rows, sequence numbers, and ULIDs are bit-identical, so
+        every outstanding checkpoint/cursor (which address by sequence
+        number, never by file) stays valid across the rewrite — verified by
+        the mid-stream compaction test. Note this holds for the messilog
+        DataSource and MessiCursor consumers, which address by (shard,
+        sequence); a plain `readStream.parquet` file-source consumer tracks
+        file names and WILL replay after compaction — use the messilog
+        source for long-lived subscriptions. Offline maintenance op: run it
+        like any table-maintenance job, not concurrently with a publish.
+
+        Returns {"files_before": n, "files_after": m, "rows": r}.
+        """
+        import glob as _glob
+        import shutil
+
+        def _count_files(root: str) -> int:
+            return len(_glob.glob(os.path.join(root, "shard_id=*", "*.parquet")))
+
+        files_before = _count_files(self.root)
+        df = self._raw()
+        tmp = self.root.rstrip("/") + ".compacting"
+        (
+            df.repartition("shard_id")
+            .sortWithinPartitions("shard_id", "sequence_number")
+            .write.option("maxRecordsPerFile", max_records_per_file)
+            .mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(tmp)
+        )
+        rows = self.spark.read.schema(LOG_SCHEMA).parquet(tmp).count()
+        old = self.root.rstrip("/") + ".pre-compact"
+        os.rename(self.root, old)
+        os.rename(tmp, self.root)
+        shutil.rmtree(old)
+        return {
+            "files_before": files_before,
+            "files_after": _count_files(self.root),
+            "rows": rows,
+        }
+
 
 # ---------------------------------------------------------------------------
 # Oracle-checkable cursor-semantics queries over the driver's `events` table
