@@ -72,9 +72,22 @@ class MessiProducer:
     def __init__(self, log: MessiLog, topic: str):
         self._log = log
         self._topic = topic
+        self._pool = None
 
     def publish(self, *messages: dict, now: datetime | None = None) -> list[dict]:
         return self._log.publish(self._topic, list(messages), now=now)
+
+    def publish_async(self, *messages: dict, now: datetime | None = None):
+        """S3: publish on a worker thread, returning a Future — the twin of
+        the reference's CompletableFuture wrapper
+        (KinesisMessiProducer.java:165-173). Single-threaded executor so
+        async publishes from one producer stay in call order, preserving the
+        per-producer monotonic-ULID contract (O1)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=1)
+        return self._pool.submit(self.publish, *messages, now=now)
 
 
 class MessiShard:

@@ -348,3 +348,34 @@ def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         wmean("value", "w").alias("weighted_mean_value")
     )
+
+
+@register(
+    "sketch_distinct_rollup",
+    oracle=None,  # HLL estimates have no cross-engine oracle; accuracy pinned in tests
+    description="Mergeable distinct-count sketches: per-source HLL built once, "
+    "unioned to a global estimate without rescanning",
+    tags=("sketch", "hll", "extension"),
+)
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-summary pattern every 100 TB pipeline leans on: build a
+    compact HLL sketch per partition-of-interest (here per source), then
+    UNION the sketches for any coarser rollup — the global distinct-user
+    estimate comes from merging 20 sketches, not rescanning the corpus.
+    At scale the per-source sketch table is a tiny materialized artifact
+    refreshed incrementally; every rollup after that is sketch algebra.
+    """
+    from pyspark.sql.functions import hll_sketch_agg, hll_sketch_estimate, hll_union_agg
+
+    d = tbl(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        hll_sketch_agg(F.xxhash64("text").cast("string")).alias("sk")
+    )
+    per = per_source.select(
+        "source", hll_sketch_estimate("sk").alias("n_distinct_est")
+    )
+    total = per_source.agg(
+        F.lit("__all__").alias("source"),
+        hll_sketch_estimate(hll_union_agg("sk")).alias("n_distinct_est"),
+    )
+    return per.unionByName(total).select("source", "n_distinct_est")

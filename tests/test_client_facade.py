@@ -93,3 +93,18 @@ def test_empty_topic_receives_null(client):
     shard = topic.shard_of(topic.first_shard())
     consumer = shard.streaming_consumer(shard.cursor_at_trim_horizon())
     assert consumer.receive() is None
+
+
+def test_publish_async_returns_future_and_preserves_order(spark, tmp_path):
+    client = MessiClient(spark, str(tmp_path / "alog"), n_shards=1)
+    producer = client.topic_of("t").producer()
+    f1 = producer.publish_async({"partition_key": "k", "external_id": "a"})
+    f2 = producer.publish_async({"partition_key": "k", "external_id": "b"})
+    r1, r2 = f1.result(timeout=120), f2.result(timeout=120)
+    assert r1[0]["external_id"] == "a" and r2[0]["external_id"] == "b"
+    # async publishes from one producer keep ULID monotonic order (O1)
+    assert r1[0]["ulid"] < r2[0]["ulid"]
+    shard = client.topic_of("t").shard_of("0")
+    consumer = shard.streaming_consumer(shard.cursor_at_trim_horizon())
+    got = [consumer.receive()["external_id"] for _ in range(2)]
+    assert got == ["a", "b"]
