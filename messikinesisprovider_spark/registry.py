@@ -52,6 +52,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         bucketed,
         clusters,
+        curation,
         dedup,
         embeddings_text,
         grouped,

@@ -1,0 +1,117 @@
+"""Semantic tests for the corpus-curation operators (operators/curation.py).
+
+The DuckDB parity harness verifies cross-engine value equality; these tests
+pin the *semantics* — packing invariants, rule consistency, score ordering —
+that a hash match alone can't express.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from messikinesisprovider_spark.operators import curation
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gopher_rules_conjunction_consistent(spark):
+    rows = curation.quality_gopher_rules(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["passes"] == (r["word_count_ok"] and r["mean_len_ok"] and r["stop_ok"])
+        assert 0.0 <= r["stop_frac"] <= 1.0
+        # synthetic corpus words are 1..8 chars, so the mean must be sane
+        assert 1.0 <= r["mean_word_len"] <= 10.0
+
+
+def test_pack_sequences_bins_are_contiguous_and_full(spark):
+    bins = curation.pack_sequences(spark, SF).collect()
+    by_source = {}
+    for r in bins:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r["bin_id"])
+        # bin ids are dense from 0
+        assert [r["bin_id"] for r in rs] == list(range(len(rs)))
+        # every bin except the last crosses the budget boundary: contiguous
+        # packing only opens bin k+1 once bin k has reached the budget
+        for r in rs[:-1]:
+            assert r["bin_tokens"] >= curation.PACK_BUDGET - 0  # boundary crossed
+            assert r["fill_ratio"] >= 1.0
+        # token conservation: sum over bins == sum over docs
+    total_binned = sum(r["bin_tokens"] for r in bins)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    total_docs = docs.select(
+        F.sum(F.size(F.split("text", " ")).cast("bigint"))
+    ).collect()[0][0]
+    assert total_binned == total_docs
+
+
+def test_source_mixing_weights_temperature_flattens(spark):
+    rows = curation.source_mixing_weights(spark, SF).collect()
+    shares = {r["source"]: r["token_share"] for r in rows}
+    weights = {r["source"]: r["temp_weight_unnorm"] for r in rows}
+    assert abs(sum(shares.values()) - 1.0) < 1e-9
+    for s in shares:
+        assert math.isclose(weights[s], math.sqrt(shares[s]), rel_tol=1e-12)
+    # alpha=0.5 flattens: the weight ratio between the largest and smallest
+    # source is strictly smaller than the share ratio
+    hi, lo = max(shares, key=shares.get), min(shares, key=shares.get)
+    if shares[hi] > shares[lo]:
+        assert weights[hi] / weights[lo] < shares[hi] / shares[lo]
+
+
+def test_term_salience_prefers_rare_terms(spark):
+    rows = curation.term_salience_topk(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        assert len(rs) <= 3
+        rs.sort(key=lambda r: r["rnk"])
+        # ranking matches the declared (score desc, term asc) order
+        keys = [(-r["score_ppm"], r["term"]) for r in rs]
+        assert keys == sorted(keys)
+        for r in rs:
+            assert r["score_ppm"] == r["tf"] * 1_000_000 // r["df"]
+
+
+def test_chunk_fraction_bounds_and_self_consistency(spark):
+    rows = curation.dedup_chunk_fraction(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_words = {
+        r["doc_id"]: r["nw"]
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("nw")
+        ).collect()
+    }
+    for r in rows:
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+        assert r["n_chunks"] == n_words[r["doc_id"]] // curation.CHUNK_WORDS
+        expected = r["n_dup_chunks"] / r["n_chunks"]
+        assert math.isclose(r["dup_frac"], expected, rel_tol=1e-12)
+
+
+def test_lang_gini_matches_python(spark):
+    rows = curation.source_lang_diversity(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    counts = {}
+    for r in docs.groupBy("source", "lang").count().collect():
+        counts.setdefault(r["source"], []).append(r["count"])
+    for r in rows:
+        ns = counts[r["source"]]
+        total = sum(ns)
+        gini = 1.0 - sum(n * n for n in ns) / (total * total)
+        assert r["n_docs"] == total
+        assert r["n_langs"] == len(ns)
+        assert math.isclose(r["lang_gini"], gini, rel_tol=1e-12)
+
+
+def test_quantize_int8_roundtrip_error_small(spark):
+    rows = curation.embedding_quantize_int8(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # 8-bit symmetric quantization: per-element error <= step/2 where
+        # step = amax/127, so MSE <= (amax/254)^2
+        assert r["mse"] <= (r["amax"] / 254.0) ** 2 + 1e-12
+        assert 0 < r["n_nonzero"] <= 64
