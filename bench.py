@@ -56,6 +56,10 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "contamination_check",
     "text_repetition_ratio",
+    # round 2, curation family: the two corpus-scale shapes (explode +
+    # map-side-combined agg + broadcast rejoin / windowed top-k).
+    "term_salience_topk",
+    "dedup_chunk_fraction",
 ]
 
 

@@ -440,3 +440,155 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_nonzero"),
         F.round(mse, 9).cast("double").alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composition: end-to-end dedup decision, and tokenizer-planning coverage.
+# ---------------------------------------------------------------------------
+
+# The Jaccard-edge + reachability prefix shared with dedup_clusters' oracle
+# (clusters.py documents the recursive-CTE twin in detail).
+_COMPONENTS_DUCK_PREFIX = """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        CASE WHEN LEN(str_split(text, ' ')) >= 3 THEN
+          list_transform(range(1, LEN(str_split(text, ' ')) - 1),
+            i -> concat_ws(' ', str_split(text, ' ')[i], str_split(text, ' ')[i+1], str_split(text, ' ')[i+2]))
+        ELSE [] END)) AS g
+      FROM documents
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.doc_a
+      JOIN counts cb ON cb.doc_id = i.doc_b
+      WHERE i.n_common * 1.0 / (ca.n + cb.n - i.n_common) >= {thr}
+    ),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(node, label) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, r.label FROM sym s JOIN reach r ON s.v = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+"""
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=None,  # assembled below with the threshold constant
+    description="End-to-end near-dup decision: cluster the Jaccard graph, keep "
+    "the min-id canonical doc per component, flag the rest for removal",
+    tags=("dedup", "clustering", "extension"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step every dedup pipeline actually ships: pair lists and cluster
+    labels become a per-document keep/remove verdict. Keeper = the minimum
+    doc_id of each component (deterministic, join-free choice); documents
+    outside any component keep themselves.
+
+    Scale: reuses the skew-capped Jaccard candidates and the large-star/
+    small-star components (both argued in SCALE.md); the verdict itself is
+    one left join of the corpus against the label table (component count ≤
+    doc count, usually far smaller) — broadcastable in the common case
+    where near-dup clusters cover a small corpus fraction.
+    """
+    from .clusters import connected_components
+    from .dedup import dedup_ngram_jaccard
+
+    d = tbl(spark, sf_dir, "documents")
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(edges).withColumnRenamed("node", "doc_id")
+    verdict = d.select("doc_id", "source").join(labels, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("component", "doc_id").alias("component"),
+        (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("keep"),
+    )
+    return verdict
+
+
+# Attach the assembled oracle (threshold baked in, shared CTE prefix).
+from ..registry import _REGISTRY as _R  # noqa: E402
+
+_R["dedup_keep_canonical"].oracle = (
+    _COMPONENTS_DUCK_PREFIX.format(thr=0.2)
+    + """
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """
+)
+
+
+@register(
+    "vocab_coverage",
+    oracle="""
+    WITH tf AS (
+      SELECT term, COUNT(*) AS freq
+      FROM (SELECT UNNEST(str_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT term, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk,
+             CAST(SUM(freq) OVER (ORDER BY freq DESC, term
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq
+      FROM tf
+    )
+    SELECT rnk, term, freq, cum_freq,
+           CAST(cum_freq AS DOUBLE) / t.total AS cum_share
+    FROM ranked
+    CROSS JOIN (SELECT CAST(SUM(LEN(str_split(text, ' '))) AS BIGINT) AS total
+                FROM documents) t
+    WHERE rnk <= 20
+    """,
+    description="Tokenizer-planning coverage curve: cumulative corpus share "
+    "of the top-20 vocabulary terms (freq desc, term asc)",
+    tags=("text", "vocab", "extension"),
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the corpus the top-N vocabulary entries cover — the
+    planning query behind vocabulary sizing. Term frequencies are a
+    map-side-combined aggregation over the exploded corpus; the ranking
+    window then runs over the VOCABULARY (not the corpus), which is orders
+    of magnitude smaller. The top-20 cut means AQE sees a tiny window
+    input; for a full coverage curve at 100 TB, bucket the vocab by
+    frequency decile first (two-stage cumsum: per-bucket totals, then
+    within-bucket), keeping every stage parallel. `cum_freq` is an exact
+    integer running sum; `cum_share` is its single division by the exact
+    corpus token total — deterministic across engines.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = W.orderBy(F.col("freq").desc(), F.col("term"))
+    ranked = tf.select(
+        "term",
+        "freq",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("freq").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_freq"),
+    ).filter(F.col("rnk") <= 20)
+    total_tbl = d.agg(
+        F.sum(F.expr(_NWORDS).cast("bigint")).alias("total")
+    )
+    return ranked.crossJoin(F.broadcast(total_tbl)).select(
+        "rnk",
+        "term",
+        "freq",
+        "cum_freq",
+        (F.col("cum_freq").cast("double") / F.col("total")).alias("cum_share"),
+    )

@@ -115,3 +115,36 @@ def test_quantize_int8_roundtrip_error_small(spark):
         # step = amax/127, so MSE <= (amax/254)^2
         assert r["mse"] <= (r["amax"] / 254.0) ** 2 + 1e-12
         assert 0 < r["n_nonzero"] <= 64
+
+
+def test_keep_canonical_verdict_consistent(spark):
+    from messikinesisprovider_spark.operators.dedup import dedup_ngram_jaccard
+
+    verdict = {r["doc_id"]: r for r in curation.dedup_keep_canonical(spark, SF).collect()}
+    pairs = dedup_ngram_jaccard(spark, SF).select("doc_a", "doc_b").collect()
+    # every near-dup pair ends up in one component, and exactly the
+    # component minimum is kept
+    comps = {}
+    for did, r in verdict.items():
+        comps.setdefault(r["component"], []).append(did)
+    for comp, members in comps.items():
+        assert comp == min(members)
+        for m in members:
+            assert verdict[m]["keep"] == (m == comp)
+    for p in pairs:
+        assert verdict[p["doc_a"]]["component"] == verdict[p["doc_b"]]["component"]
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    rows = sorted(curation.vocab_coverage(spark, SF).collect(), key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    shares = [r["cum_share"] for r in rows]
+    assert all(0 < s <= 1.0 for s in shares)
+    assert shares == sorted(shares)
+    # cum_freq really is the running sum of freq
+    cum = 0
+    for r in rows:
+        cum += r["freq"]
+        assert r["cum_freq"] == cum
