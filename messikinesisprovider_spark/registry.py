@@ -52,7 +52,6 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import (  # noqa: F401
         bucketed,
         clusters,
-        curation,
         dedup,
         embeddings_text,
         grouped,
@@ -73,5 +72,6 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import tpch_suite  # noqa: F401
     from .operators import pipeline_ops  # noqa: F401
     from .operators import skew as _skew  # noqa: F401
+    from .operators import curation  # noqa: F401  (round 2, appended)
 
     return dict(_REGISTRY)
