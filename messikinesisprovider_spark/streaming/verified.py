@@ -171,3 +171,56 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "streaming_enrich_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           e.event_type,
+           COUNT(*) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    description="REAL streaming pipeline: log -> readStream -> stream-static "
+    "broadcast enrichment join (customer dim) -> windowless agg; oracle-checked",
+    tags=("streaming", "join", "enrichment", "verified"),
+)
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment — the most common production streaming join:
+    every microbatch joins against a slowly-changing dimension snapshot
+    without any state store (the static side is not watermarked; Spark
+    re-plans it per batch, so a dim refresh between batches is picked up).
+
+    Scale: the dimension is broadcast, so the streaming side never
+    shuffles for the join — each input partition enriches locally, and the
+    only stateful operator is the final aggregation, keyed by the (tiny)
+    segment x event_type domain. This is the shape that keeps a 1000-task
+    enrichment stage shuffle-free at 100 TB/day ingest.
+    """
+    from ..operators.relational import tbl
+    from . import consume
+
+    root = _staged_events_log(spark, sf_dir)
+    stream = consume.stream_log(spark, root)
+    dim = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("partition_key"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = stream.select(
+        "partition_key", F.col("attributes")["event_type"].alias("event_type")
+    ).join(F.broadcast(dim), "partition_key")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    name = "sej_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sej_ckpt_"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

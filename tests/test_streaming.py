@@ -211,3 +211,26 @@ def test_foreach_partition_publisher_executor_side(spark, seeded_log, tmp_path):
     for path in glob.glob(os.path.join(out_dir, "*.json")):
         with open(path) as f:
             assert len(json.load(f)) <= 2
+
+
+def test_streaming_enrich_join_matches_batch(spark):
+    from messikinesisprovider_spark.operators.relational import events_tbl, tbl
+    from messikinesisprovider_spark.streaming.verified import streaming_enrich_join
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["segment"], r["event_type"]): r["n_events"]
+        for r in streaming_enrich_join(spark, sf).collect()
+    }
+    batch = (
+        events_tbl(spark, sf)
+        .join(
+            tbl(spark, sf, "customer"),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {(r["segment"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert got == want
