@@ -73,5 +73,6 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import pipeline_ops  # noqa: F401
     from .operators import skew as _skew  # noqa: F401
     from .operators import curation  # noqa: F401  (round 2, appended)
+    from .operators import timeseries  # noqa: F401  (round 2, appended)
 
     return dict(_REGISTRY)
