@@ -592,3 +592,59 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_freq",
         (F.col("cum_freq").cast("double") / F.col("total")).alias("cum_share"),
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH flat AS (
+      SELECT i.i AS dim, e.e[i.i] AS x
+      FROM (SELECT embedding::DOUBLE[] AS e FROM embeddings) e
+      CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i
+    )
+    SELECT dim,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean,
+           CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             - (CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) AS var_pop,
+           MIN(x) AS min_x,
+           MAX(x) AS max_x
+    FROM flat GROUP BY dim
+    """,
+    description="Per-dimension embedding stats (mean/var/min/max, decimal-exact "
+    "moments) — the whitening/normalization prep pass",
+    tags=("embeddings", "stats", "extension"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-wise feature statistics over the embedding matrix — what a
+    whitening, normalization, or drift-monitoring step consumes. posexplode
+    produces (dim, value) rows keyed by dimension, so the aggregation
+    shuffles on a 64-value key with map-side combine: at 100 TB the shuffle
+    carries 64 partial-state rows per map task, not the data. Moments use
+    exact decimal accumulation (order-independent across partitions), cast
+    to double once, with variance from the E[x^2]-E[x]^2 identity — the
+    same discipline as every float in this module. The DECIMAL(18,6) cast
+    quantizes each float to 6 decimal places — a deliberate, consistent
+    quantization (both engines round half-up, so sums agree bit-for-bit)
+    that bounds the moment error at 5e-7 per element; min/max stay
+    full-precision. Exact full-precision moments at scale would use a
+    two-pass/Kahan pandas UDAF instead.
+    """
+    e = tbl(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "pos", "x"
+        )
+    ).select((F.col("pos") + 1).cast("bigint").alias("dim"), "x")
+    dec = F.col("x").cast("decimal(18,6)")
+    n = F.count(F.lit(1))
+    mean = F.sum(dec).cast("double") / n
+    ex2 = F.sum(dec * dec).cast("double") / n
+    return flat.groupBy("dim").agg(
+        n.alias("n"),
+        mean.alias("mean"),
+        (ex2 - mean * mean).alias("var_pop"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )

@@ -148,3 +148,27 @@ def test_vocab_coverage_monotone_and_bounded(spark):
     for r in rows:
         cum += r["freq"]
         assert r["cum_freq"] == cum
+
+
+def test_embedding_dim_stats_matches_numpy(spark):
+    import numpy as np
+
+    rows = {r["dim"]: r for r in curation.embedding_dim_stats(spark, SF).collect()}
+    vecs = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    assert set(rows) == set(range(1, vecs.shape[1] + 1))
+    for d in rows:
+        col = vecs[:, d - 1]
+        assert rows[d]["n"] == len(col)
+        # moments are computed on 6-decimal quantized values: tolerance 1e-5
+        assert abs(rows[d]["mean"] - col.mean()) < 1e-5
+        assert abs(rows[d]["var_pop"] - col.var()) < 1e-4
+        assert math.isclose(rows[d]["min_x"], col.min(), rel_tol=1e-6)
+        assert math.isclose(rows[d]["max_x"], col.max(), rel_tol=1e-6)
