@@ -648,3 +648,65 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),
     )
+
+
+VOCAB_TOP_N = 50
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(str_split(text, ' ')) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rnk
+        FROM words GROUP BY term
+      ) WHERE rnk <= {VOCAB_TOP_N}
+    )
+    SELECT w.doc_id,
+           COUNT(*) AS n_words,
+           COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS n_oov,
+           CAST(COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM words w LEFT JOIN vocab v USING (term)
+    GROUP BY w.doc_id
+    """,
+    description=f"Out-of-vocabulary rate per doc against the corpus top-{VOCAB_TOP_N} "
+    "vocabulary — rare-word quality filter",
+    tags=("text", "vocab", "quality", "extension"),
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of token occurrences outside the top-{VOCAB_TOP_N} vocabulary —
+    the rare-word signal quality filters threshold on (high OOV rate flags
+    gibberish, boilerplate, or wrong-language text against a reference
+    vocabulary).
+
+    Scale: the vocabulary is built with one map-side-combined term count and
+    a top-N cut, then BROADCAST against the exploded corpus (vocab is
+    bounded, corpus is not) — the left join marks membership without
+    shuffling the corpus side; the per-doc aggregation is the only corpus
+    shuffle. In production the vocabulary comes from a fixed tokenizer
+    instead; the plan shape is identical with the vocab read from a file.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    wv = W.orderBy(F.col("freq").desc(), F.col("term"))
+    vocab = (
+        words.groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") <= VOCAB_TOP_N)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    n_oov = F.count(F.when(F.col("in_vocab").isNull(), F.lit(1)))
+    return (
+        words.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            n_oov.alias("n_oov"),
+            (n_oov.cast("double") / F.count("*")).alias("oov_rate"),
+        )
+    )

@@ -172,3 +172,26 @@ def test_embedding_dim_stats_matches_numpy(spark):
         assert abs(rows[d]["var_pop"] - col.var()) < 1e-4
         assert math.isclose(rows[d]["min_x"], col.min(), rel_tol=1e-6)
         assert math.isclose(rows[d]["max_x"], col.max(), rel_tol=1e-6)
+
+
+def test_oov_rate_consistent_with_vocab(spark):
+    from collections import Counter
+
+    rows = {r["doc_id"]: r for r in curation.text_oov_rate(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    freq = Counter()
+    for d in docs:
+        freq.update(d["text"].split(" "))
+    vocab = {
+        t
+        for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : curation.VOCAB_TOP_N
+        ]
+    }
+    for d in docs:
+        words = d["text"].split(" ")
+        oov = sum(1 for w in words if w not in vocab)
+        r = rows[d["doc_id"]]
+        assert r["n_words"] == len(words)
+        assert r["n_oov"] == oov
+        assert math.isclose(r["oov_rate"], oov / len(words), rel_tol=1e-12)
