@@ -130,3 +130,43 @@ def test_contamination_corpus_side_never_shuffles_before_join(spark):
     join_inputs = plan.split("BroadcastHashJoin")[-1]
     scan_part = join_inputs.split("Scan parquet")[0] if "Scan parquet" in join_inputs else join_inputs
     assert "Exchange hashpartitioning" not in scan_part, plan
+
+
+def test_term_salience_df_table_broadcasts(spark):
+    plan = inspect.physical_plan(q(spark, "term_salience_topk"))
+    # document-frequency (vocabulary) side must broadcast; the only corpus
+    # shuffles are the two aggregations and the final per-doc window
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # rank pushdown: partial top-k before the window shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_oov_vocab_side_broadcasts(spark):
+    plan = inspect.physical_plan(q(spark, "text_oov_rate"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_curation_row_maps_have_no_shuffle(spark):
+    # quality gate and int8 quantization are pure per-row maps: no Exchange
+    for name in ("quality_gopher_rules", "embedding_quantize_int8"):
+        plan = inspect.physical_plan(q(spark, name))
+        assert "Exchange" not in plan, name
+        assert "pythonUDF" not in plan.lower(), name
+
+
+def test_pack_sequences_window_partitions_by_source(spark):
+    # the running total must partition by the shard key — a global-order
+    # window (empty partition spec) would serialize at scale
+    plan = inspect.physical_plan(q(spark, "pack_sequences"))
+    assert "partitionspec=[source" in plan.replace(" ", "").lower() or (
+        "hashpartitioning(source" in plan.replace(" ", "").lower()
+    )
+
+
+def test_timeseries_windows_partition_by_key(spark):
+    plan = inspect.physical_plan(q(spark, "rolling_zscore_anomaly"))
+    assert "hashpartitioning(event_type" in plan.replace(" ", "").lower()
+    plan2 = inspect.physical_plan(q(spark, "gap_fill_interpolate"))
+    assert "hashpartitioning(event_type" in plan2.replace(" ", "").lower()
