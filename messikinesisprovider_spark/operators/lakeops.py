@@ -1,0 +1,356 @@
+"""Lake/warehouse maintenance + mining operators (round 2, appended).
+
+Four shapes a 100 TB corpus/warehouse operator runs routinely, each with a
+DuckDB oracle twin:
+
+- ``data_profile_orders`` — per-column profiling (nulls / NDV / min / max)
+  in one declarative pass; the statistics feed partition sizing, skew
+  detection, and dictionary-encoding decisions.
+- ``dedup_incremental_exact`` — the snapshot-over-snapshot dedup shape: a
+  NEW ingest batch is anti-joined against the historical corpus on a
+  canonical content key, so only never-seen documents survive. This is how
+  exact dedup actually runs in production — nobody re-dedups 100 TB from
+  scratch per ingest.
+- ``copurchase_pairs`` — frequent-pair mining (market-basket) with A-priori
+  candidate pruning: only items frequent on their own can appear in a
+  frequent pair, so the quadratic per-basket pair explosion happens only
+  over the pruned item set.
+- ``zorder_morton_layout`` — Z-order (Morton) interleaving of two join/filter
+  keys; the production write path sorts by this code so parquet row-group
+  min/max stats prune multi-dimensional range scans. ``zorder_write`` is the
+  actual layout writer; the registered query audits per-bucket locality.
+
+Determinism: every output column is an integer, an exact MIN/MAX selection,
+or an md5 hex digest — no floating aggregation anywhere, so Spark and DuckDB
+hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .relational import tbl
+
+# ---------------------------------------------------------------------------
+# data profiling
+# ---------------------------------------------------------------------------
+
+# (column, kind): numeric columns profile min/max of the value; varchar
+# columns profile min/max of the LENGTH (cross-engine string collation is a
+# determinism trap; length is not); timestamps profile epoch-micros.
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in _PROFILE_COLS:
+        if kind == "num":
+            lo, hi = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+        elif kind == "ts":
+            lo, hi = (
+                f"CAST(MIN(epoch_us({col})) AS DOUBLE)",
+                f"CAST(MAX(epoch_us({col})) AS DOUBLE)",
+            )
+        else:
+            lo, hi = (
+                f"CAST(MIN(length({col})) AS DOUBLE)",
+                f"CAST(MAX(length({col})) AS DOUBLE)",
+            )
+        parts.append(
+            f"SELECT '{col}' AS column_name,"
+            f" COUNT(*) - COUNT({col}) AS n_nulls,"
+            f" COUNT(DISTINCT {col}) AS n_distinct,"
+            f" {lo} AS min_num, {hi} AS max_num FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "data_profile_orders",
+    oracle=_profile_oracle(),
+    description="Per-column table profile (nulls, exact NDV, min/max) of orders "
+    "in one declarative pass, stacked to one row per column",
+    tags=("profiling", "catalog", "extension"),
+)
+def data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column statistics for catalog/optimizer decisions, computed as ONE
+    aggregate over the table and unpivoted with ``stack`` — a single scan,
+    no per-column passes.
+
+    Scale: the only expensive metric is exact NDV; N distinct aggregates in
+    one pass make Catalyst plan an Expand (xN rows through the first
+    aggregate), which is the price of EXACTNESS for N columns in one scan —
+    the alternatives are N scans (worse at 100 TB: scan dominates) or
+    `approx_count_distinct` (one pass, no Expand, ±2%). The operator keeps
+    the exact form because profile jobs run rarely and feed decisions that
+    want true cardinalities; the approx variant is a one-word swap.
+    Everything else (nulls, min/max) is map-side combinable.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    aggs = []
+    for col, kind in _PROFILE_COLS:
+        aggs.append((F.count(F.lit(1)) - F.count(col)).alias(f"{col}__nulls"))
+        aggs.append(F.count_distinct(F.col(col)).alias(f"{col}__ndv"))
+        if kind == "num":
+            lo, hi = F.min(col).cast("double"), F.max(col).cast("double")
+        elif kind == "ts":
+            # parquet may deliver TIMESTAMP_NTZ; the session zone is UTC so
+            # the cast is a type relabel with identical micros
+            lo = F.min(F.unix_micros(F.col(col).cast("timestamp"))).cast("double")
+            hi = F.max(F.unix_micros(F.col(col).cast("timestamp"))).cast("double")
+        else:
+            lo = F.min(F.length(col)).cast("double")
+            hi = F.max(F.length(col)).cast("double")
+        aggs.append(lo.alias(f"{col}__min"))
+        aggs.append(hi.alias(f"{col}__max"))
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c, _ in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_num, max_num)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental (snapshot-over-snapshot) exact dedup
+# ---------------------------------------------------------------------------
+
+# Canonical content key: md5 of the first 5 words. A stand-in for the usual
+# normalize(text) -> digest canonicalization (lowercase, strip punctuation,
+# collapse whitespace); the synthetic corpus has no byte-identical dupes, so
+# a prefix key is what gives the anti-join observable work at sf0.01.
+_CANON_WORDS = 5
+
+
+@register(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:{_CANON_WORDS}], ' ')) AS content_key
+      FROM documents
+    ),
+    hist AS (SELECT content_key FROM keyed WHERE doc_id % 5 != 0),
+    newb AS (SELECT * FROM keyed WHERE doc_id % 5 = 0)
+    SELECT content_key, MIN(doc_id) AS doc_id
+    FROM newb
+    WHERE content_key NOT IN (SELECT content_key FROM hist)
+    GROUP BY content_key
+    """,
+    description="Incremental exact dedup: new ingest batch anti-joined against "
+    "the historical corpus on a canonical content key, then first-wins within "
+    "the batch",
+    tags=("dedup", "incremental", "extension"),
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot dedup — the production shape of exact dedup.
+
+    The historical corpus is reduced to its content-key set ONCE (in
+    production: maintained as a compact keys-only table or Bloom filter
+    alongside the corpus); each new ingest batch (1) anti-joins against it,
+    (2) first-wins dedups within itself. Cost per ingest is proportional to
+    the BATCH, not the corpus: the anti-join shuffles the slim key column
+    only, and Spark's shuffled hash anti-join never materializes matches.
+    At 100 TB the keys-only side is ~1% of corpus bytes; a Bloom-filter
+    pre-filter (`spark.sql.optimizer.runtime.bloomFilter.enabled`) drops
+    most probes before the shuffle.
+
+    Here the batch is doc_id % 5 == 0 and history is the rest, so the
+    operator exercises both legs on one table.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, _CANON_WORDS))
+        ).alias("content_key"),
+    )
+    hist = keyed.filter(F.col("doc_id") % 5 != 0).select("content_key")
+    newb = keyed.filter(F.col("doc_id") % 5 == 0)
+    fresh = newb.join(hist, "content_key", "left_anti")
+    return fresh.groupBy("content_key").agg(F.min("doc_id").alias("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# frequent-pair mining (market basket) with A-priori pruning
+# ---------------------------------------------------------------------------
+
+_MIN_SUPPORT = 3  # pair must co-occur in >= this many orders
+_MAX_BASKET = 50  # guard: cap basket width before the quadratic pair step
+
+
+@register(
+    "copurchase_pairs",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (
+      SELECT l_partkey FROM op GROUP BY 1 HAVING COUNT(*) >= {_MIN_SUPPORT}
+    ),
+    fop AS (SELECT op.* FROM op JOIN freq USING (l_partkey)),
+    sized AS (
+      SELECT l_orderkey FROM fop GROUP BY 1 HAVING COUNT(*) <= {_MAX_BASKET}
+    ),
+    capped AS (SELECT fop.* FROM fop JOIN sized USING (l_orderkey)),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM capped a JOIN capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {_MIN_SUPPORT}
+    """,
+    description=f"Frequent co-purchased part pairs (support >= {_MIN_SUPPORT} "
+    "orders) with A-priori item pruning and a basket-width cap",
+    tags=("mining", "join", "extension"),
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining, shaped for scale:
+
+    - **A-priori pruning** (the classic): a pair can only reach support s if
+      BOTH items individually reach s, so lineitem is filtered to frequent
+      items before any pairing. The frequent-item list is orders of
+      magnitude smaller than the item domain → broadcast, no shuffle.
+    - **Basket-width cap**: per-basket pair count is quadratic in basket
+      width; one degenerate 10^5-item basket emits 5x10^9 pairs. Baskets
+      wider than {_MAX_BASKET} (after pruning) are excluded — the standard
+      guard, mirrored exactly in the oracle.
+    - The pair self-join is an equi-join on l_orderkey: both sides shuffle
+      once on the same key, and the pair aggregation is map-side
+      combinable.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        op.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _MIN_SUPPORT)
+        .select("l_partkey")
+    )
+    fop = op.join(F.broadcast(freq), "l_partkey")
+    sized = (
+        fop.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") <= _MAX_BASKET)
+        .select("l_orderkey")
+    )
+    capped = fop.join(sized, "l_orderkey")
+    a = capped.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = capped.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= _MIN_SUPPORT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout
+# ---------------------------------------------------------------------------
+
+_MORTON_BITS = 16  # bits per key -> 32-bit morton code
+
+
+def _morton_spark(x: str, y: str) -> str:
+    """Spark SQL expression interleaving the low 16 bits of x (even
+    positions) and y (odd positions). Inputs are widened to BIGINT so the
+    shift arithmetic is 64-bit regardless of the column's integral type."""
+    terms = []
+    for i in range(_MORTON_BITS):
+        terms.append(f"shiftleft(shiftright(CAST({x} AS BIGINT), {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright(CAST({y} AS BIGINT), {i}) & 1, {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def _morton_duckdb(x: str, y: str) -> str:
+    terms = []
+    for i in range(_MORTON_BITS):
+        terms.append(f"(((CAST({x} AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST({y} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def morton_col(x: str, y: str) -> F.Column:
+    """Morton (Z-order) code of two integer key columns, low 16 bits each."""
+    return F.expr(_morton_spark(x, y))
+
+
+@register(
+    "zorder_morton_layout",
+    oracle=f"""
+    WITH coded AS (
+      SELECT l_partkey, l_suppkey,
+             {_morton_duckdb("l_partkey", "l_suppkey")} AS morton
+      FROM lineitem
+    )
+    SELECT morton >> 14 AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+           MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+    FROM coded GROUP BY 1
+    """,
+    description="Z-order locality audit: Morton-interleave (l_partkey, "
+    "l_suppkey), bucket by the high bits (>>14), report per-bucket key ranges",
+    tags=("layout", "zorder", "extension"),
+)
+def zorder_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code locality audit — the read-side check for a Z-ordered
+    table layout.
+
+    Z-ordering sorts rows by the bit-interleaving of two (or more) filter
+    keys so that parquet row-group min/max statistics become selective for
+    range predicates on EITHER key: a scan with `l_partkey BETWEEN a AND b`
+    prunes most files even though the table isn't sorted by l_partkey
+    alone. The interleave is pure integer bit arithmetic — whole-stage
+    codegen, no shuffle; the audit groups by the high morton bits and
+    reports per-bucket key envelopes (tight envelopes = good locality =
+    effective pruning). `zorder_write` below is the actual layout writer.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    coded = li.select(
+        "l_partkey", "l_suppkey", morton_col("l_partkey", "l_suppkey").alias("morton")
+    )
+    return coded.groupBy(F.shiftright("morton", 14).alias("z_bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("min_pk"),
+        F.max("l_partkey").alias("max_pk"),
+        F.min("l_suppkey").alias("min_sk"),
+        F.max("l_suppkey").alias("max_sk"),
+    )
+
+
+def zorder_write(
+    df: DataFrame, x: str, y: str, out_dir: str, n_files: int = 8
+) -> None:
+    """Write ``df`` Z-ordered on (x, y): range-partition by the morton code,
+    sort within each partition, one parquet file per range.
+
+    Range partitioning makes the per-file morton intervals DISJOINT, so
+    every file's parquet footer carries a tight [min, max] envelope on both
+    keys — the property the scan-side pruning relies on. At 100 TB this is
+    the standard OPTIMIZE/compaction job: read, interleave, range-sort,
+    rewrite; no driver involvement beyond the range-boundary sample.
+    """
+    coded = df.withColumn("__z", morton_col(x, y))
+    (
+        coded.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

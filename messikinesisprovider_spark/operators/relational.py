@@ -33,9 +33,14 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events` is written with TIMESTAMP(NANOS) parquet type, which Spark's
-    vectorized reader rejects; read nanos as long and truncate to micros
-    (the generator emits whole-microsecond values, verified zero remainder).
+    """`events.ts` arrives in whatever parquet physical type the generator
+    used — TIMESTAMP(NANOS) (which Spark's vectorized reader rejects; read
+    nanos as long and truncate to micros) or TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). Normalize both to a
+    session-zone TIMESTAMP so downstream `unix_micros`/window arithmetic
+    works; the session zone is pinned to UTC, so the NTZ cast is a pure
+    type relabel with identical wall-clock values (what the DuckDB oracle
+    sees too).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from pyspark.sql import types as T
@@ -43,6 +48,8 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,103 @@
+"""Oracle-verified streaming queries, part 2 (round 2, appended).
+
+Separate module so registration APPENDS to the registry walk order — the
+driver's correctness harness iterates insertion order, and existing entries
+must never shift between rounds (see registry.all_specs).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .verified import _staged_events_log
+
+
+def _drain_append(df: DataFrame, prefix: str) -> DataFrame:
+    """Run an append-mode streaming query to a memory sink and return the
+    drained table."""
+    name = prefix + "_" + uuid.uuid4().hex[:10]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=prefix + "_ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_event_id,
+           p.event_id AS purchase_event_id,
+           p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+    """,
+    description="REAL streaming pipeline: two readStreams over the log, "
+    "stream-stream inner interval join (click -> purchase attribution "
+    "within 7 days); oracle = the equivalent batch interval join",
+    tags=("streaming", "join", "stream-stream", "verified"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the real source machinery — the
+    attribution shape (every purchase matched to the user's clicks in the
+    preceding 7 days).
+
+    Both sides are genuine readStreams; Spark buffers each side in the join
+    state store and emits a pair the moment both halves have arrived,
+    across microbatch boundaries. This verified variant attaches NO
+    watermark, so no state is ever evicted and the result is exactly the
+    batch interval join regardless of how the availableNow trigger slices
+    the input into batches — which is what makes a DuckDB oracle possible.
+    Production attaches `withWatermark` on both sides (the TCK twin in
+    tests/test_stream_join.py does) so state is bounded by the join window
+    plus allowed lateness; correctness then additionally assumes
+    within-watermark arrival, which the log source's per-shard FIFO
+    provides.
+
+    Scale: the equi half of the condition (partition_key) hash-partitions
+    both state stores, so matching is local per task; with the watermark
+    variant, state size is O(join window x per-user rate), not O(stream
+    length).
+    """
+    from . import consume
+
+    root = _staged_events_log(spark, sf_dir)
+
+    def side(event_type: str, role: str) -> DataFrame:
+        return (
+            consume.stream_log(spark, root)
+            .filter(F.col("attributes")["event_type"] == event_type)
+            .select(
+                F.col("partition_key").alias(f"{role}_user"),
+                F.col("external_id").cast("bigint").alias(f"{role}_event_id"),
+                F.col("ts").alias(f"{role}_ts"),
+            )
+        )
+
+    clicks, purchases = side("click", "click"), side("purchase", "purchase")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "click_user = purchase_user AND click_ts <= purchase_ts "
+            "AND click_ts >= purchase_ts - INTERVAL 7 DAYS"
+        ),
+    ).select(
+        "click_event_id",
+        "purchase_event_id",
+        F.col("purchase_user").cast("bigint").alias("user_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    return _drain_append(joined, "ssj")
