@@ -31,6 +31,7 @@ from ..registry import register
 from .dedup import JACCARD_THRESHOLD, dedup_ngram_jaccard
 
 _MAX_ROUNDS = 25  # alternating rounds; O(log n) suffices (SoCC'14 Thm 2)
+_EDGES_PER_PARTITION = 100_000  # per-round partition sizing target
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -102,18 +103,33 @@ def connected_components(
     ).distinct()
     e = raw.filter(F.col("u") != F.col("v")).distinct()
     prev_sig = None
+    # Partition sizing per round: star rounds shrink the edge set
+    # geometrically, and a near-converged round over 32 near-empty
+    # partitions pays pure scheduler overhead. The convergence probe
+    # already returns the exact edge count, so each round re-sizes the NEXT
+    # round's partitioning to ~`_EDGES_PER_PARTITION` edges per task
+    # (coalesce: narrow, no shuffle). At 100 TB the first rounds keep full
+    # parallelism — the clamp only bites as the fixpoint nears.
+    max_parts = edges.sparkSession.sparkContext.defaultParallelism
+    n_edges = None
     for round_no in range(1, _MAX_ROUNDS + 1):
         # Lazy checkpoint + probe: the convergence aggregate is the ONE job
         # per round — it materializes the checkpoint (truncating lineage for
         # the next round) and reads the count+checksum off it in the same
         # pass. No separate materialization job, no per-row comparison join.
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        new_e = _small_star(_large_star(e))
+        if n_edges is not None:
+            parts = max(1, min(max_parts, -(-n_edges // _EDGES_PER_PARTITION)))
+            if parts < max_parts:
+                new_e = new_e.coalesce(parts)
+        new_e = new_e.localCheckpoint(eager=False)
         if round_no % check_every == 0 or round_no == _MAX_ROUNDS:
             # bit_xor: order-independent, overflow-free under ANSI mode
             sig = new_e.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.expr("bit_xor(xxhash64(u, v))").alias("h"),
             ).collect()[0]
+            n_edges = sig["n"]
             sig = (sig["n"], sig["h"])
             e.unpersist()
             e = new_e
