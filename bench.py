@@ -60,6 +60,14 @@ HEADLINE = [
     # map-side-combined agg + broadcast rejoin / windowed top-k).
     "term_salience_topk",
     "dedup_chunk_fraction",
+    # round 2, lake-ops + analytics: full-outer CDC diff, keys-only
+    # incremental anti-join, ordered funnel, retention triangle, and the
+    # pure-codegen morton locality audit.
+    "snapshot_diff",
+    "dedup_incremental_exact",
+    "funnel_conversion",
+    "cohort_retention",
+    "zorder_morton_layout",
 ]
 
 

@@ -334,6 +334,87 @@ def zorder_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus,
+             o_totalprice AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 != 3
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 IN (1, 2)
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 != 7
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.o_totalprice AS old_totalprice,
+           n.o_totalprice AS new_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+    """,
+    description="Snapshot diff (CDC derivation): full-outer key join of two "
+    "table versions, classifying insert/delete/update with null-safe "
+    "column comparison",
+    tags=("cdc", "diff", "extension"),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a change feed from two table snapshots — the batch CDC shape
+    every lakehouse needs when the source can't emit its own change log.
+
+    The two versions are simulated from `orders` (one slice absent from the
+    old version → inserts; another absent from the new → deletes; two
+    slices price-perturbed → updates). The diff itself is the general
+    algorithm: FULL OUTER equi-join on the primary key, then null-safe
+    per-column comparison (`IS DISTINCT FROM`) to separate updates from
+    unchanged rows, which are dropped.
+
+    Scale: both snapshots shuffle once on the key — and if snapshots are
+    maintained bucketed by key (operators/bucketed.py), the join plans
+    shuffle-free. The comparison is whole-stage codegen; output is only
+    the changed rows, so the diff of two 100 TB snapshots with 0.1% churn
+    writes ~100 GB.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 10 == 1, F.col("o_totalprice") + 1.0
+        )
+        .when(F.col("o_orderkey") % 10 == 2, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    on = old.alias("o").join(
+        new.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    changed = (
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | ~F.col("o.o_totalprice").eqNullSafe(F.col("n.o_totalprice"))
+        | ~F.col("o.o_orderstatus").eqNullSafe(F.col("n.o_orderstatus"))
+    )
+    return on.filter(changed).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        F.col("o.o_totalprice").alias("old_totalprice"),
+        F.col("n.o_totalprice").alias("new_totalprice"),
+    )
+
+
 def zorder_write(
     df: DataFrame, x: str, y: str, out_dir: str, n_files: int = 8
 ) -> None:

@@ -20,11 +20,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
-def latest_per_key(df: DataFrame, key: str = "external_id") -> DataFrame:
-    """Reduce to the newest row per key by (shard_id, sequence_number)."""
-    w = W.partitionBy(key).orderBy(
-        F.col("shard_id").desc(), F.col("sequence_number").desc()
-    )
+def latest_per_key(
+    df: DataFrame, key: str = "external_id", order_cols: tuple[str, ...] | None = None
+) -> DataFrame:
+    """Reduce to the newest row per key.
+
+    Default winner order is broker position (shard_id, sequence_number) —
+    the reference's semantics. Pass `order_cols` to rank by payload fields
+    instead (e.g. an event-time + unique-id pair) when the winner must be
+    deterministic regardless of ingest parallelism — distributed bulk
+    ingest assigns sequences in partition-iteration order, which is not a
+    function of the payload.
+    """
+    cols = order_cols or ("shard_id", "sequence_number")
+    w = W.partitionBy(key).orderBy(*[F.col(c).desc() for c in cols])
     return (
         df.filter(F.col(key).isNotNull())
         .withColumn("__rn", F.row_number().over(w))
@@ -38,6 +47,7 @@ def upsert_snapshot(
     snapshot_dir: str,
     checkpoint_dir: str,
     key: str = "external_id",
+    order_cols: tuple[str, ...] | None = None,
 ):
     """Start a streaming query maintaining `snapshot_dir` as latest-per-key.
 
@@ -47,10 +57,10 @@ def upsert_snapshot(
     spark = stream_df.sparkSession
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        incoming = latest_per_key(batch_df, key)
+        incoming = latest_per_key(batch_df, key, order_cols)
         try:
             current = spark.read.parquet(snapshot_dir)
-            merged = latest_per_key(current.unionByName(incoming), key)
+            merged = latest_per_key(current.unionByName(incoming), key, order_cols)
         except Exception:  # first batch: no snapshot yet
             merged = incoming
         # stage-then-swap write: a failed write leaves the old snapshot intact

@@ -101,3 +101,76 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
     return _drain_append(joined, "ssj")
+
+
+# Winner tiebreak: event-time micros scaled past the event_id domain, so the
+# (ts, event_id) lexicographic order becomes one BIGINT-comparable rank that
+# DuckDB's max_by can mirror exactly.
+_TS_SCALE = 10_000_000_000
+
+
+@register(
+    "streaming_cdc_upsert",
+    oracle=f"""
+    SELECT user_id,
+           MAX_BY(event_id, CAST(epoch_us(ts) AS DECIMAL(38,0)) * {_TS_SCALE}
+                            + event_id) AS last_event_id,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    description="REAL streaming pipeline: log -> readStream -> foreachBatch "
+    "upsert materializer (latest-per-user snapshot, merged across "
+    "microbatches) -> snapshot readback; oracle = batch argmax per user",
+    tags=("streaming", "cdc", "upsert", "verified"),
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC materialization through the real streaming machinery: the event
+    log streams in multiple microbatches; each batch folds into a
+    latest-per-user parquet snapshot via the foreachBatch merge
+    (stage-then-swap write), and the final snapshot is read back.
+
+    The winner is ranked by payload event time with the unique event id as
+    tiebreaker — deterministic regardless of how ingest parallelism
+    assigned broker sequences, which is what makes a cross-engine oracle
+    possible (broker-sequence ranking is the production default and is
+    covered by the TCK in tests/test_materialize.py).
+
+    The per-user event count rides along from a second aggregation over
+    the same staged log, pinning that the upsert dropped no users.
+
+    Scale: each microbatch reduces to latest-per-key BEFORE touching the
+    snapshot (incremental work ~ batch size); the merge itself is one
+    keyed window over snapshot+delta. At warehouse scale the same merge
+    targets a MERGE-capable table format instead of rewrite — the
+    reduction logic is identical.
+    """
+    import os
+
+    from . import consume, materialize
+
+    root = _staged_events_log(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="cdc_upsert_")
+    snap = os.path.join(base, "snapshot")
+    stream = consume.stream_log(spark, root)
+    q = materialize.upsert_snapshot(
+        stream,
+        snapshot_dir=snap,
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        key="partition_key",
+        order_cols=("ts", "external_id"),
+    )
+    q.awaitTermination()
+    snapshot = spark.read.parquet(snap).select(
+        F.col("partition_key").cast("bigint").alias("user_id"),
+        F.col("external_id").cast("bigint").alias("last_event_id"),
+    )
+    counts = (
+        spark.read.schema(stream.schema)
+        .parquet(root)
+        .groupBy(F.col("partition_key").cast("bigint").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return snapshot.join(counts, "user_id").select(
+        "user_id", "last_event_id", "n_events"
+    )

@@ -170,3 +170,51 @@ def test_timeseries_windows_partition_by_key(spark):
     assert "hashpartitioning(event_type" in plan.replace(" ", "").lower()
     plan2 = inspect.physical_plan(q(spark, "gap_fill_interpolate"))
     assert "hashpartitioning(event_type" in plan2.replace(" ", "").lower()
+
+
+def test_copurchase_apriori_side_broadcasts(spark):
+    # the frequent-item list and the basket-width list are both orders of
+    # magnitude smaller than lineitem: they must broadcast, and the only
+    # SortMergeJoin allowed is the orderkey-aligned pair self-join
+    plan = inspect.physical_plan(q(spark, "copurchase_pairs"))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert inspect.partial_aggregate_count(q(spark, "copurchase_pairs")) >= 2
+
+
+def test_funnel_stage_filters_push_to_scan(spark):
+    df = q(spark, "funnel_conversion")
+    pushed = " ".join(inspect.pushed_filters(df))
+    assert "event_type" in pushed  # each stage reads a slim slice
+
+
+def test_data_profile_is_single_scan(spark):
+    plan = inspect.physical_plan(q(spark, "data_profile_orders"))
+    # one scan of orders feeds all per-column metrics (the Expand for the
+    # multi-distinct is the documented exactness cost, not an extra scan).
+    # formatted explain prints each node twice (tree + details), so a
+    # single scan appears at most twice in the string
+    assert plan.count("Scan parquet") <= 2
+    assert "Expand" in plan
+
+
+def test_incremental_dedup_stays_anti_join(spark):
+    plan = inspect.physical_plan(q(spark, "dedup_incremental_exact"))
+    assert "LeftAnti" in plan
+
+
+def test_zorder_audit_has_map_side_partial(spark):
+    assert inspect.partial_aggregate_count(q(spark, "zorder_morton_layout")) >= 2
+    # the interleave is pure integer arithmetic: no Python anywhere
+    plan = inspect.physical_plan(q(spark, "zorder_morton_layout"))
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_snapshot_diff_full_outer_on_key(spark):
+    plan = inspect.physical_plan(q(spark, "snapshot_diff"))
+    assert "FullOuter" in plan
+    # changed-row filter is codegen, not Python
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_cohort_retention_has_map_side_partial(spark):
+    assert inspect.partial_aggregate_count(q(spark, "cohort_retention")) >= 2
