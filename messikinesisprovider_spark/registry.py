@@ -76,6 +76,8 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import timeseries  # noqa: F401  (round 2, appended)
     from .operators import lakeops  # noqa: F401  (round 2, appended)
     from .operators import analytics  # noqa: F401  (round 2, appended)
+    from .operators import features  # noqa: F401  (round 2, appended)
+    from .operators import graph2  # noqa: F401  (round 2, appended)
     from .streaming import verified2 as _verified2  # noqa: F401  (round 2, appended)
 
     return dict(_REGISTRY)
