@@ -1,0 +1,105 @@
+"""Quality-evaluation queries (round 2, appended): recall of the approximate
+operators measured against their exact baselines, as registry entries.
+
+The pytest suite already asserts recall floors; registering the measurements
+makes them driver-visible artifacts — every round's CORRECTNESS file then
+records not just that the approximate operators ran, but how good they were.
+Rows-only (the approximate side has no cross-engine oracle by construction);
+the EXACT baselines they compare against are oracle-checked elsewhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+
+@register(
+    "ann_recall_eval",
+    oracle=None,  # compares hash-seeded ANN output; baseline itself is oracle-checked
+    description="Recall@k of both ANN paths (LSH multi-table, IVF) against "
+    "exact brute-force cosine top-k",
+    tags=("similarity", "eval", "extension"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of `sim_ann_lsh` and `sim_ann_ivf` vs `sim_topk_bruteforce`.
+
+    One row per method: |ANN ∩ exact| / |exact| over (query_id, neighbor)
+    pairs. The exact baseline is itself under the DuckDB oracle, so this
+    measurement is anchored; the ANN sides are hash-seeded and therefore
+    rows-only. At corpus scale this is the recurring eval job that guards
+    re-tuning (bands, probes, nlist) against silent recall regressions.
+
+    Reading the number: the synthetic embeddings are near-isotropic (top-5
+    exact neighbors share the query's label only ~10% of the time), so NO
+    sublinear method can recall much better than its probed fraction times
+    a small concentration factor — the measured ~0.35-0.45 against a ~14%
+    probed fraction is that amplification, not a tuning defect. On real
+    clustered embeddings the same probed fraction yields high recall; this
+    eval is what shows the trade-off moving when the knobs move.
+    """
+    from .similarity import sim_ann_ivf, sim_ann_lsh, sim_topk_bruteforce
+
+    exact = sim_topk_bruteforce(spark, sf_dir).select(
+        F.col("query_id"), F.col("neighbor_id")
+    )
+
+    def recall(name: str, ann: DataFrame) -> DataFrame:
+        hits = exact.join(
+            ann.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+            hits.agg(F.count(F.lit(1)).alias("n_found"))
+        ).select(
+            F.lit(name).alias("method"),
+            "n_exact",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_exact"), 6).alias("recall"),
+        )
+
+    lsh = recall("lsh_multitable", sim_ann_lsh(spark, sf_dir))
+    ivf = recall("ivf_probe", sim_ann_ivf(spark, sf_dir))
+    return lsh.unionAll(ivf)
+
+
+@register(
+    "minhash_recall_eval",
+    oracle=None,  # xxhash-seeded signatures have no cross-engine twin
+    description="Candidate recall of MinHash-LSH banding against exact "
+    "n-gram Jaccard pairs at the estimator threshold",
+    tags=("dedup", "eval", "extension"),
+)
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level recall of the banded MinHash candidate generator against
+    the exact Jaccard self-join: of the truly-similar pairs (exact Jaccard
+    >= the estimator threshold), how many did at least one LSH band
+    surface? The exact side is oracle-checked (`dedup_ngram_jaccard`); the
+    banded side is the scale path whose whole point is to avoid computing
+    the exact join — this eval is the honesty check that the shortcut
+    keeps the pairs it exists to find.
+    """
+    from .dedup import (
+        MINHASH_EST_THRESHOLD,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    exact = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= MINHASH_EST_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    found = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hits = exact.join(found, ["doc_a", "doc_b"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_found")))
+        .select(
+            F.lit("minhash_lsh_16x4").alias("method"),
+            "n_true_pairs",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_true_pairs"), 6).alias("recall"),
+        )
+    )

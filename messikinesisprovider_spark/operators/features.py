@@ -113,3 +113,48 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+@register(
+    "rebalance_classes",
+    oracle="""
+    WITH counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+    floor_n AS (SELECT MIN(n) AS n_min FROM counts),
+    ranked AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM embeddings
+    )
+    SELECT vec_id, label FROM ranked, floor_n WHERE rk <= n_min
+    """,
+    description="Class rebalancing: downsample every label to the minority "
+    "class size with a deterministic content-hash rank",
+    tags=("features", "sampling", "extension"),
+)
+def rebalance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every class to the minority-class size — the standard
+    rebalancing step before training on skewed labels.
+
+    Selection is a ROW_NUMBER over md5(vec_id): a salted content hash, so
+    membership is reproducible run-over-run and shard-independent (no
+    RAND(), no partition-order dependence — same discipline as
+    `deterministic_hash_sample`). Scale: one keyed window per label plus a
+    broadcast scalar floor; at extreme label skew the majority-class
+    window parallelizes per label only, so for a single giant label use
+    the salted-bucket variant (`skew_salted_agg` shows the pattern) to
+    spread the rank computation, or approximate with a hash-threshold cut
+    (keep if hash < n_min/n_label quantile) which needs no window at all.
+    """
+    e = tbl(spark, sf_dir, "embeddings")
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    floor_n = counts.agg(F.min("n").alias("n_min"))
+    w = W.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    ranked = e.select("vec_id", "label", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("n_min"))
+        .select("vec_id", "label")
+    )
