@@ -47,6 +47,44 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def oriented_triangles(edges: DataFrame) -> DataFrame:
+    """Triangles of an undirected simple edge list (columns a, b; one row
+    per unordered edge) via degree-ordered wedge orientation. Returns the
+    (x, y, u) triangle rows pre-count."""
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    ranked = (
+        edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        # orient low-(degree, id) -> high-(degree, id)
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    w1 = ranked.select(F.col("u"), F.col("v").alias("x"))
+    w2 = ranked.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    # close the wedge: an (x, y) edge in EITHER canonical direction
+    closing = ranked.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    return wedges.join(closing, ["x", "y"])
+
+
+
 @register(
     "triangle_count",
     oracle=f"""
@@ -87,37 +125,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin the graph itself.
     """
     edges = _copurchase_edges(spark, sf_dir).persist()
-    deg = (
-        edges.select(F.col("a").alias("v"))
-        .unionAll(edges.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
-    ranked = (
-        edges.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
-        # orient low-(degree, id) -> high-(degree, id)
-        .select(
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-            )
-            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
-            .alias("e")
-        )
-        .select("e.u", "e.v")
-    )
-    w1 = ranked.select(F.col("u"), F.col("v").alias("x"))
-    w2 = ranked.select(F.col("u"), F.col("v").alias("y"))
-    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
-    # close the wedge: an (x, y) edge in EITHER canonical direction
-    closing = ranked.select(
-        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
-    )
-    tri = wedges.join(closing, ["x", "y"])
+    tri = oriented_triangles(edges)
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
         F.broadcast(n_edges)
