@@ -46,6 +46,9 @@ def get_spark(app_name: str = "messikinesisprovider_spark", cpus: int | None = N
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # UDTFs ride Arrow too — row-at-a-time Python is banned repo-wide
+        # (tests/test_plans.py sweeps every registered plan for it)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

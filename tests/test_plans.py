@@ -218,3 +218,22 @@ def test_snapshot_diff_full_outer_on_key(spark):
 
 def test_cohort_retention_has_map_side_partial(spark):
     assert inspect.partial_aggregate_count(q(spark, "cohort_retention")) >= 2
+
+
+def test_no_row_at_a_time_python_udfs_anywhere(spark):
+    """Blanket UDF-discipline check over the whole registry: no registered
+    query may plan a row-at-a-time Python UDF (BatchEvalPython). Python is
+    allowed only Arrow-batched (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas / UDTF). Streaming topologies are excluded — their
+    fn() executes a real stream rather than returning a lazy plan."""
+    from messikinesisprovider_spark.registry import all_specs
+
+    skipped, checked = [], 0
+    for name, spec in all_specs().items():
+        if name.startswith("streaming_") or "eval" in spec.tags:
+            skipped.append(name)
+            continue
+        plan = inspect.physical_plan(spec.fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time Python UDF"
+        checked += 1
+    assert checked > 100  # the sweep really covered the registry
