@@ -163,6 +163,20 @@ class MessiLog:
         df.write.mode("append").partitionBy("shard_id").parquet(self.root)
         return stamped
 
+    def _seq_floor_path(self) -> str:
+        return self.root.rstrip("/") + ".seq_floor.json"
+
+    def _seq_floors(self) -> dict[str, int]:
+        """Per-shard next-sequence floors persisted by retention_trim: a
+        fully trimmed shard has no rows to derive its next sequence from,
+        and re-issuing trimmed numbers would break the monotone-sequence
+        contract every cursor relies on."""
+        try:
+            with open(self._seq_floor_path()) as f:
+                return {k: int(v) for k, v in json.load(f).items()}
+        except FileNotFoundError:
+            return {}
+
     def _sequence_state(self) -> dict[str, int]:
         if self._next_seq is None:
             self._next_seq = {s: 0 for s in self.shards()}
@@ -171,6 +185,9 @@ class MessiLog:
                     self._raw().groupBy("shard_id").agg(F.max("sequence_number").alias("m")).collect()
                 ):
                     self._next_seq[row["shard_id"]] = row["m"] + 1
+            for shard, floor in self._seq_floors().items():
+                if floor > self._next_seq.get(shard, 0):
+                    self._next_seq[shard] = floor
         return self._next_seq
 
     # ------------------------------------------------------------------- read
@@ -333,6 +350,60 @@ class MessiLog:
             "files_before": files_before,
             "files_after": _count_files(self.root),
             "rows": rows,
+        }
+
+    def retention_trim(self, older_than: datetime) -> dict:
+        """Drop messages that arrived before `older_than` — the broker's
+        retention-period enforcement (Kinesis trims at 24 h-365 d; the
+        reference's OLDEST_RETAINED cursor names exactly this boundary).
+
+        Contract after a trim:
+        - sequence numbers are NEVER renumbered, so any cursor/checkpoint
+          addressing the retained region replays exactly;
+        - a cursor positioned below the new head behaves like Kinesis'
+          expired-sequence iterator: reads resume from the oldest retained
+          record (the `>= sequence` scan filter does this naturally);
+        - next-sequence floors are persisted per shard, so a FULLY trimmed
+          shard continues its sequence where it left off instead of
+          re-issuing trimmed numbers (sidecar read by `_sequence_state`).
+
+        Offline maintenance op, like `compact`: not concurrent with
+        publishes. Returns {"rows_before", "rows_after", "trimmed"}.
+        """
+        import shutil
+
+        cutoff = _naive(older_than)
+        df = self._raw()
+        rows_before = df.count()
+        # floors BEFORE the rewrite: max+1 over the full (untrimmed) log
+        floors = self._seq_floors()
+        for row in (
+            df.groupBy("shard_id").agg(F.max("sequence_number").alias("m")).collect()
+        ):
+            floors[row["shard_id"]] = max(
+                floors.get(row["shard_id"], 0), row["m"] + 1
+            )
+        kept = df.filter(F.col("arrival_ts") >= F.lit(cutoff))
+        tmp = self.root.rstrip("/") + ".trimming"
+        (
+            kept.repartition("shard_id")
+            .sortWithinPartitions("shard_id", "sequence_number")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(tmp)
+        )
+        rows_after = self.spark.read.schema(LOG_SCHEMA).parquet(tmp).count()
+        old = self.root.rstrip("/") + ".pre-trim"
+        os.rename(self.root, old)
+        os.rename(tmp, self.root)
+        shutil.rmtree(old)
+        with open(self._seq_floor_path(), "w") as f:
+            json.dump(floors, f)
+        self._next_seq = None  # re-derive (now floor-aware) on next publish
+        return {
+            "rows_before": rows_before,
+            "rows_after": rows_after,
+            "trimmed": rows_before - rows_after,
         }
 
 
