@@ -1,0 +1,112 @@
+"""End-to-end corpus-curation pipeline as ONE registered query (round 2,
+appended): quality gate → canonical dedup → per-source accounting.
+
+The individual stages are oracle-checked standalone (quality_gopher_rules,
+dedup_incremental_exact's canonical key, source_mixing_weights); this query
+is the COMPOSITION evidence — the stages chain into a single Catalyst plan
+with no materialization barriers, which is how the production pipeline
+actually runs: one pass from raw corpus to per-source training-data
+accounting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import register
+from .curation import _STOP_SQL, _STOPWORDS
+from .relational import tbl
+
+_CANON_WORDS = 5  # same canonical content key as dedup_incremental_exact
+
+
+@register(
+    "curation_pipeline_e2e",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             LEN(str_split(text, ' ')) AS n_words,
+             CAST(LENGTH(text) - (LEN(str_split(text, ' ')) - 1) AS DOUBLE)
+               / LEN(str_split(text, ' ')) AS mean_word_len,
+             CAST(LEN(list_filter(str_split(text, ' '),
+                                  w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+               / LEN(str_split(text, ' ')) AS stop_frac
+      FROM documents
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND stop_frac >= 0.01
+    ),
+    keyed AS (
+      SELECT *, md5(array_to_string(string_split(text, ' ')[1:{_CANON_WORDS}], ' '))
+               AS content_key
+      FROM gated
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY content_key
+                                     ORDER BY doc_id) AS rk
+        FROM keyed
+      ) WHERE rk = 1
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(mean_word_len AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) AS avg_word_len
+    FROM deduped GROUP BY source
+    """,
+    description="One-pass curation pipeline: Gopher-style quality gate -> "
+    "canonical-key first-wins dedup -> per-source doc/token accounting",
+    tags=("curation", "pipeline", "composition", "extension"),
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation path in one declarative plan.
+
+    Stage boundaries exist in the code, not the execution: Catalyst fuses
+    gate + keying into the scan's codegen stage, the dedup window shuffles
+    once on content_key, and the final accounting is map-side-combined on
+    source. No stage materializes — at 100 TB the whole pipeline is one
+    job whose only wide dependencies are the dedup key and the (tiny)
+    source key. Numeric discipline as everywhere: token counts are exact
+    ints, the average is one double division of a decimal-exact sum.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        n_words.alias("n_words"),
+        ((F.length("text") - (n_words - F.lit(1))).cast("double") / n_words).alias(
+            "mean_word_len"
+        ),
+        (
+            F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS))).cast("double")
+            / n_words
+        ).alias("stop_frac"),
+    )
+    gated = scored.filter(
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("stop_frac") >= 0.01)
+    )
+    keyed = gated.withColumn(
+        "content_key",
+        F.md5(F.concat_ws(" ", F.slice(words, 1, _CANON_WORDS))),
+    )
+    w = W.partitionBy("content_key").orderBy("doc_id")
+    deduped = keyed.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        (
+            F.sum(F.col("mean_word_len").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_word_len"),
+    )

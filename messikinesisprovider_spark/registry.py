@@ -79,6 +79,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import features  # noqa: F401  (round 2, appended)
     from .operators import graph2  # noqa: F401  (round 2, appended)
     from .operators import evals  # noqa: F401  (round 2, appended)
+    from .operators import pipeline2  # noqa: F401  (round 2, appended)
     from .streaming import verified2 as _verified2  # noqa: F401  (round 2, appended)
 
     return dict(_REGISTRY)
