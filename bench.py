@@ -68,6 +68,8 @@ HEADLINE = [
     "funnel_conversion",
     "cohort_retention",
     "zorder_morton_layout",
+    # one-pass curation composition: gate -> dedup -> accounting
+    "curation_pipeline_e2e",
 ]
 
 
@@ -110,6 +112,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(HEADLINE),
                 "sf": sf,
             }
         )
