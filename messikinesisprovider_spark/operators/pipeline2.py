@@ -110,3 +110,59 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_word_len"),
     )
+
+
+_TOPK_TOKENS = 10
+_SKETCH_CAPACITY = 4096  # >> synthetic vocab, so the sketch is in its exact regime
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH words AS (
+      SELECT lang, UNNEST(str_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS cnt FROM words GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT lang, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, token) AS rk
+      FROM counts
+    )
+    SELECT lang, token, cnt, rk FROM ranked WHERE rk <= {_TOPK_TOKENS}
+    """,
+    description=f"Heavy-hitter tokens per language via approx_top_k sketch "
+    f"(capacity {_SKETCH_CAPACITY}), deterministically re-ranked; oracle = "
+    "exact counts",
+    tags=("sketch", "heavy-hitters", "extension"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy hitters through Spark's `approx_top_k` sketch —
+    the one-pass, mergeable answer to "what dominates this key's
+    distribution" that at 100 TB replaces the exact two-level aggregation
+    (the sketch state is O(capacity) per key regardless of corpus size,
+    and partial sketches merge map-side).
+
+    The oracle is EXACT top-k: with capacity far above the synthetic
+    vocabulary the sketch tracks every token, so its counts are exact and
+    the hash check pins the whole path. At real-corpus cardinalities the
+    counts become approximate — the capacity/cardinality ratio is the
+    documented knob, and the deterministic re-rank (count desc, token)
+    stays the tie-discipline either way.
+    """
+    d = tbl(spark, sf_dir, "documents")
+    words = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    sk = words.groupBy("lang").agg(
+        F.expr(f"approx_top_k(token, {_SKETCH_CAPACITY})").alias("tk")
+    )
+    exploded = sk.select(
+        "lang", F.explode("tk").alias("e")
+    ).select("lang", F.col("e.item").alias("token"), F.col("e.count").alias("cnt"))
+    w = W.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    return (
+        exploded.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _TOPK_TOKENS)
+        .select("lang", "token", "cnt", "rk")
+    )
