@@ -90,3 +90,40 @@ def test_checkpoint_into_retained_region_replays_exactly(spark, tmp_path):
     assert [r["external_id"] for r in resumed] == [
         r["external_id"] for r in newrows[2:]
     ]
+
+
+def test_streaming_checkpoint_survives_retention_trim(spark, tmp_path):
+    """A long-lived messilog subscription keeps its checkpoint valid across
+    a retention trim: committed offsets address sequences, the trim never
+    renumbers, and the post-trim drain delivers exactly the new records."""
+    from messikinesisprovider_spark.sources import messilog_source
+
+    messilog_source.register(spark)
+    log = MessiLog(spark, str(tmp_path / "rlog"), n_shards=1)
+    _publish_epoch(log, "old", 4, T0)
+
+    ckpt, out = str(tmp_path / "rck"), str(tmp_path / "rout")
+
+    def drain():
+        q = (
+            spark.readStream.format("messilog")
+            .option("path", log.root)
+            .option("startingposition", "TRIM_HORIZON")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [r["external_id"] for r in spark.read.parquet(out).collect()]
+
+    assert sorted(drain()) == [f"old{i}" for i in range(4)]
+
+    log.retention_trim(older_than=T1 - timedelta(hours=1))  # drops the old epoch
+    _publish_epoch(log, "new", 3, T1)
+
+    got = drain()  # resumes from committed offsets over the rewritten log
+    # exactly the new records appended: no replay of olds, no loss of news
+    assert sorted(got) == sorted([f"old{i}" for i in range(4)] + [f"new{i}" for i in range(3)])
