@@ -72,3 +72,15 @@ def test_oriented_triangle_count_matches_python(spark, edges):
         1 for (a, b) in simple for c in (adj[a] & adj[b]) if b < c
     )
     assert got == want
+
+
+def test_connected_components_path_graph_converges_logarithmically(spark):
+    """A 400-node path is the worst diameter case: naive min-label
+    propagation needs ~400 rounds; the star algorithm must collapse it to
+    one component labeled 0 well inside its O(log n) round budget."""
+    n = 400
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    rows = connected_components(df).collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
