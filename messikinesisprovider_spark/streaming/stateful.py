@@ -40,6 +40,36 @@ COUNTER_STATE_SCHEMA = T.StructType(
 )
 
 
+def _counter_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    idle_timeout_ms: int,
+) -> Iterator[pd.DataFrame]:
+    """Per-key update body (module-level so the timeout branch is unit-
+    testable against a stub state without a streaming query)."""
+    if state.hasTimedOut:
+        # idle-key eviction: drop the state and emit nothing — updating or
+        # re-arming the timeout here would resurrect the key forever
+        state.remove()
+        return
+    (pk,) = key
+    n, max_seq = state.get if state.exists else (0, None)
+    batch_n = 0
+    for pdf in pdfs:
+        batch_n += len(pdf)
+        if len(pdf):
+            batch_max = int(pdf["sequence_number"].max())
+            max_seq = batch_max if max_seq is None else max(max_seq, batch_max)
+    n += batch_n
+    state.update((n, max_seq))
+    if idle_timeout_ms:
+        state.setTimeoutDuration(idle_timeout_ms)
+    yield pd.DataFrame(
+        [{"partition_key": pk, "n_messages": n, "max_sequence": max_seq, "batch_messages": batch_n}]
+    )
+
+
 def running_user_counters(df: DataFrame, idle_timeout_ms: int = 0) -> DataFrame:
     """Per-partition-key running counters across microbatches.
 
@@ -53,21 +83,7 @@ def running_user_counters(df: DataFrame, idle_timeout_ms: int = 0) -> DataFrame:
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (pk,) = key
-        n, max_seq = state.get if state.exists else (0, None)
-        batch_n = 0
-        for pdf in pdfs:
-            batch_n += len(pdf)
-            if len(pdf):
-                batch_max = int(pdf["sequence_number"].max())
-                max_seq = batch_max if max_seq is None else max(max_seq, batch_max)
-        n += batch_n
-        state.update((n, max_seq))
-        if idle_timeout_ms:
-            state.setTimeoutDuration(idle_timeout_ms)
-        yield pd.DataFrame(
-            [{"partition_key": pk, "n_messages": n, "max_sequence": max_seq, "batch_messages": batch_n}]
-        )
+        yield from _counter_update(key, pdfs, state, idle_timeout_ms)
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_ms else GroupStateTimeout.NoTimeout

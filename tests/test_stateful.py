@@ -46,3 +46,54 @@ def test_counters_accumulate_across_batches(spark, tmp_path):
     # high-water sequence advanced monotonically
     u1_maxseq = max(r["max_sequence"] for r in rows if r["partition_key"] == "u1")
     assert u1_maxseq == 3  # 4 messages on one shard → seqs 0..3
+
+
+class _StubState:
+    """GroupState stand-in for exercising the update body directly."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_timed_out_key_is_evicted_not_resurrected():
+    from messikinesisprovider_spark.streaming.stateful import _counter_update
+
+    state = _StubState(value=(7, 42), timed_out=True)
+    out = list(_counter_update(("u1",), iter(()), state, idle_timeout_ms=1000))
+    assert out == []  # nothing emitted for an evicted key
+    assert state.removed  # state dropped...
+    assert state.timeout_set is None  # ...and the timeout NOT re-armed
+
+
+def test_update_accumulates_and_rearms_timeout():
+    import pandas as pd
+
+    from messikinesisprovider_spark.streaming.stateful import _counter_update
+
+    state = _StubState(value=(3, 5))
+    batch = pd.DataFrame({"sequence_number": [6, 9]})
+    [o] = list(_counter_update(("u1",), iter([batch]), state, idle_timeout_ms=500))
+    assert state.get == (5, 9)
+    assert state.timeout_set == 500
+    assert o.iloc[0]["n_messages"] == 5 and o.iloc[0]["batch_messages"] == 2
