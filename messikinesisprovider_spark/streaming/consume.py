@@ -71,12 +71,17 @@ def effectively_once(df: DataFrame, watermark: str = "10 minutes") -> DataFrame:
 
     The reference's 5 s checkpoint debounce admits replay duplicates
     (SURVEY.md §7.4 item 4); ULIDs are the idempotency key the reference
-    already assigns, so `dropDuplicates` on them inside a bounded watermark
-    is the stated remedy. State size is bounded by (watermark × arrival
-    rate) — at 100 TB/day keep the watermark tight or key state by
-    (shard_id, ulid) to partition the state store.
+    already assigns. `dropDuplicatesWithinWatermark` (not plain
+    `dropDuplicates`) is the operator whose state the watermark actually
+    EVICTS when the dedup key excludes the event-time column — plain
+    dropDuplicates on ["ulid"] alone would accumulate one state row per
+    message forever. State size is bounded by (watermark × arrival rate) —
+    at 100 TB/day keep the watermark tight; the state store partitions by
+    the dedup key automatically.
     """
-    return df.withWatermark("arrival_ts", watermark).dropDuplicates(["ulid"])
+    return df.withWatermark("arrival_ts", watermark).dropDuplicatesWithinWatermark(
+        ["ulid"]
+    )
 
 
 def windowed_counts(
