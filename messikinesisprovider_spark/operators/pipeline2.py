@@ -166,3 +166,70 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPK_TOKENS)
         .select("lang", "token", "cnt", "rk")
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        CASE WHEN LEN(str_split(text, ' ')) >= 3 THEN
+          list_transform(range(1, LEN(str_split(text, ' ')) - 1),
+            i -> concat_ws(' ', str_split(text, ' ')[i], str_split(text, ' ')[i+1], str_split(text, ' ')[i+2]))
+        ELSE [] END)) AS g
+      FROM documents
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.doc_a
+      JOIN counts cb ON cb.doc_id = i.doc_b
+      WHERE i.n_common * 1.0 / (ca.n + cb.n - i.n_common) >= {{thr}}
+    )
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM edges e
+    JOIN documents da ON da.doc_id = e.doc_a
+    JOIN documents db ON db.doc_id = e.doc_b
+    GROUP BY 1, 2
+    """.replace("{thr}", "0.2"),
+    description="Near-duplicate provenance matrix: exact-Jaccard pairs "
+    "rolled up by unordered source pair — where duplicated content flows "
+    "between corpus sources",
+    tags=("dedup", "provenance", "composition", "extension"),
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate each other — the provenance question asked
+    right after any dedup pass (mirrors vs plagiarism vs common templates
+    have different curation remedies).
+
+    Composition over the oracle-checked exact pair generator
+    (`dedup_ngram_jaccard`): attach each endpoint's source with a slim
+    BROADCAST (doc_id, source) projection, canonicalize the pair order so
+    (A,B) and (B,A) collapse, and count. The pair list is orders of
+    magnitude smaller than the corpus, so this rollup is free next to the
+    candidate generation it reuses — and at scale it runs over the
+    PERSISTED pair table the dedup job already wrote.
+    """
+    from .dedup import dedup_ngram_jaccard
+
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    src = tbl(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    joined = edges.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    return (
+        joined.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
