@@ -234,3 +234,57 @@ def test_streaming_enrich_join_matches_batch(spark):
     )
     want = {(r["segment"], r["event_type"]): r["n_events"] for r in batch.collect()}
     assert got == want
+
+
+def test_late_data_beyond_watermark_is_dropped(spark, tmp_path):
+    """Append-mode windowed aggregation: once the watermark finalizes a
+    window, a straggler for that window is DISCARDED — the emitted row never
+    changes and no duplicate row appears. This is the late-data contract the
+    watermark exists to enforce."""
+    log = MessiLog(spark, str(tmp_path / "latelog"), n_shards=1)
+
+    def pub(eid, hours):
+        log.publish(
+            "t",
+            [{"partition_key": "u", "external_id": eid, "ts": T0 + timedelta(hours=hours)}],
+            now=T0,
+        )
+
+    for i in range(3):  # hours 0, 1, 2
+        pub(f"on{i}", i)
+
+    agg = consume.windowed_counts(
+        consume.stream_log(spark, log.root), window="1 hour", watermark="30 minutes"
+    )
+    out_dir, ckpt = str(tmp_path / "lateout"), str(tmp_path / "lateck")
+
+    def drain_parquet():
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["window_start"]: r["n_messages"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    first = drain_parquet()  # watermark -> 1.5h: window [0,1) finalized
+    assert first.get(T0.replace(tzinfo=None)) == 1
+
+    pub("late", 0.25)  # straggler into the already-finalized [0,1) window
+    pub("fresh", 5)  # advances the watermark to 4.5h
+
+    final = drain_parquet()
+    # [0,1) unchanged (late row dropped), [1,2) and [2,3) finalized with
+    # exactly their on-time rows, nothing double-emitted
+    naive = T0.replace(tzinfo=None)
+    assert final[naive] == 1
+    assert final[naive + timedelta(hours=1)] == 1
+    assert final[naive + timedelta(hours=2)] == 1
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == len({r["window_start"] for r in rows})  # no dup windows
