@@ -31,6 +31,10 @@ QUERIES = [
     "cohort_retention",
     "copurchase_pairs",
     "zorder_morton_layout",
+    "curation_pipeline_e2e",
+    "heavy_hitter_tokens",
+    "triangle_count",
+    "target_encode_loo",
 ]
 
 
