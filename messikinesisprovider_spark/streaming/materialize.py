@@ -57,11 +57,17 @@ def upsert_snapshot(
     spark = stream_df.sparkSession
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         incoming = latest_per_key(batch_df, key, order_cols)
-        try:
+        # Existence check, NOT try/except: a corrupt or unreadable existing
+        # snapshot must FAIL the batch (retry/alert), never be silently
+        # replaced by the delta alone — that would drop every previously
+        # materialized key.
+        if os.path.exists(snapshot_dir):
             current = spark.read.parquet(snapshot_dir)
             merged = latest_per_key(current.unionByName(incoming), key, order_cols)
-        except Exception:  # first batch: no snapshot yet
+        else:  # first batch: no snapshot yet
             merged = incoming
         # stage-then-swap write: a failed write leaves the old snapshot intact
         staged = snapshot_dir + ".staging"
