@@ -232,14 +232,33 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_count_distinct",
-    oracle=None,  # HLL implementations differ across engines; verified rows-only + by unit test vs exact count
-    description="approx_count_distinct (HyperLogLog++) per event_type",
+    # HLL estimates differ across engines, so the portable output is the
+    # exact count plus a boolean asserting the HLL++ estimate landed within
+    # tolerance; the oracle reproduces exact + TRUE. At rsd=0.01 a 5% band
+    # is ~5 sigma — deterministic in practice for these cardinalities.
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS hll_within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+    description="approx_count_distinct (HyperLogLog++) per event_type, "
+    "verified against the exact distinct count in-plan",
     tags=("agg", "approx"),
 )
 def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_tbl(spark, sf_dir)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+    ).select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_users_exact"))
+            <= F.col("n_users_exact") * F.lit(0.05)
+        ).alias("hll_within_tol"),
     )
 
 

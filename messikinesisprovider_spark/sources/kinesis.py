@@ -133,6 +133,26 @@ def list_stream_names(client) -> list[str]:
     return names
 
 
+def list_shard_ids(client, stream_name: str) -> list[str]:
+    """All shard ids of a stream, paginated 10 at a time via
+    ExclusiveStartShardId / HasMoreShards (KinesisUtils.java:63-96). Real
+    Kinesis pages DescribeStream; reading only the first page silently drops
+    every shard past it on wide streams."""
+    shard_ids: list[str] = []
+    exclusive_start = None
+    while True:
+        kwargs = {"StreamName": stream_name, "Limit": 10}
+        if exclusive_start is not None:
+            kwargs["ExclusiveStartShardId"] = exclusive_start
+        desc = client.describe_stream(**kwargs)["StreamDescription"]
+        page = [s["ShardId"] for s in desc.get("Shards", [])]
+        shard_ids.extend(page)
+        if not desc.get("HasMoreShards") or not page:
+            break
+        exclusive_start = page[-1]
+    return shard_ids
+
+
 def create_stream(client, stream_name: str, shard_count: int = 1) -> None:
     """CreateStream (KinesisUtils.java:51-61); pair with wait_stream_active
     for the reference's create-then-wait startup (S7)."""

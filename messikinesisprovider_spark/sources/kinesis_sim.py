@@ -128,15 +128,30 @@ class FakeKinesisClient:
         page = names[:Limit]
         return {"StreamNames": page, "HasMoreStreams": len(names) > len(page)}
 
-    def describe_stream(self, StreamName: str, Limit: int = 10) -> dict:
+    def describe_stream(
+        self,
+        StreamName: str,
+        Limit: int = 10,
+        ExclusiveStartShardId: str | None = None,
+    ) -> dict:
+        # Honors Limit / ExclusiveStartShardId / HasMoreShards like real
+        # Kinesis, so TCK tests with >10 shards exercise the pagination loop
+        # (KinesisUtils.java:63-96). Shard ids sort lexicographically here
+        # (zero-base integer names stay ordered within a page window because
+        # pagination compares the ids the simulator itself handed out).
         streams = self._streams()
         if StreamName not in streams:
             raise ResourceNotFound(f"Stream does not exist: {StreamName}")
+        shards = sorted(streams[StreamName])
+        if ExclusiveStartShardId is not None:
+            shards = [sid for sid in shards if sid > ExclusiveStartShardId]
+        page = shards[:Limit]
         return {
             "StreamDescription": {
                 "StreamName": StreamName,
                 "StreamStatus": "ACTIVE",
-                "Shards": [{"ShardId": sid} for sid in streams[StreamName]],
+                "Shards": [{"ShardId": sid} for sid in page],
+                "HasMoreShards": len(shards) > len(page),
             }
         }
 

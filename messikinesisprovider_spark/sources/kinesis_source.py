@@ -158,8 +158,12 @@ class KinesisStreamReader(SimpleDataSourceStreamReader):
         return self._policy
 
     def _shard_ids(self) -> list[str]:
-        desc = self.client().describe_stream(StreamName=self.stream_name)
-        return [s["ShardId"] for s in desc["StreamDescription"]["Shards"]]
+        # Paginated: DescribeStream pages shards 10 at a time
+        # (KinesisUtils.java:63-96); a single-page read silently drops
+        # shards 11+ on wide streams.
+        from .kinesis import list_shard_ids
+
+        return list_shard_ids(self.client(), self.stream_name)
 
     def initialOffset(self) -> dict:
         return {sid: "" for sid in self._shard_ids()}

@@ -18,6 +18,7 @@ from messikinesisprovider_spark.sources.kinesis import (
     KinesisTransport,
     create_stream,
     ensure_stream,
+    list_shard_ids,
     list_stream_names,
     wait_stream_active,
 )
@@ -352,6 +353,50 @@ def test_spark_source_survives_rate_limit_fault(spark_stream, tmp_path):
     time.sleep(0.1)  # > 3x pollintervalms (10 ms) backoff
     out = drain()
     assert out.count() == 10  # full recovery, no loss
+
+
+def test_list_shard_ids_paginates_at_10(tmp_path):
+    """DescribeStream pages shards 10 at a time (KinesisUtils.java:63-96);
+    the helper must follow HasMoreShards/ExclusiveStartShardId to the end."""
+    client = kinesis_sim.FakeKinesisClient(str(tmp_path / "b"))
+    client.create_stream(StreamName="w", ShardCount=25)
+    ids = list_shard_ids(client, "w")
+    assert len(ids) == 25 and len(set(ids)) == 25
+    assert set(ids) == {str(i) for i in range(25)}
+    # single-page read would have stopped at 10
+    one_page = client.describe_stream(StreamName="w")["StreamDescription"]["Shards"]
+    assert len(one_page) == 10
+
+
+def test_spark_source_wide_stream_no_shard_loss(spark, tmp_path):
+    """25-shard stream: an unpaginated shard listing reads only the first
+    DescribeStream page and silently never consumes shards 11+ — permanent
+    data loss. Every record put on every shard must come back (VERDICT r2 #1)."""
+    kinesis_source.register(spark)
+    client = kinesis_sim.FakeKinesisClient(str(tmp_path / "wb"))
+    client.create_stream(StreamName="s", ShardCount=25)
+    put_shards = set()
+    for i in range(200):
+        payload = wire.encode_message({"external_id": f"w{i}"})
+        resp = client.put_records(
+            StreamName="s", Records=[{"PartitionKey": f"pk{i}", "Data": payload}]
+        )
+        put_shards.add(resp["Records"][0]["ShardId"])
+    assert len(put_shards) > 10  # the fixture really spans multiple pages
+    name = "k" + uuid.uuid4().hex[:10]
+    q = (
+        _reader(spark, str(tmp_path / "wb"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    assert out.count() == 200
+    got_shards = {r["shard_id"] for r in out.select("shard_id").distinct().collect()}
+    assert got_shards == put_shards
 
 
 def test_spark_source_multishard_fifo(spark, tmp_path):
