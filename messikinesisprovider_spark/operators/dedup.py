@@ -14,9 +14,12 @@ DataFrame algebra — no cross joins, no driver-side collection.
 - SimHash: 64-bit sign-aggregated token hashes, banded into 4×16-bit chunks
   (pigeonhole: hamming ≤ 3 ⇒ at least one exact chunk match) → join on chunk.
 
-MinHash/SimHash use Spark's xxhash64 — no SQL-portable twin exists, so their
-oracle is rows-only; tests/test_dedup.py verifies them against the exact
-Jaccard operator (recall/precision) instead.
+MinHash/SimHash hash tokens with a PORTABLE 60-bit hash (first 15 hex chars
+of md5 parsed as a BIGINT — bit-identical in Spark `conv(substr(md5(x),1,15),
+16,10)` and DuckDB `('0x' || substr(md5(x),1,15))::BIGINT`), so their DuckDB
+oracles replicate the full pipeline — signatures, banding, candidate join,
+rescoring — exactly, with no recall assumption. tests/test_extensions.py
+additionally verifies recall/precision against the exact Jaccard operator.
 """
 
 from __future__ import annotations
@@ -52,6 +55,19 @@ _SHINGLES_DUCK = (
 )
 
 JACCARD_THRESHOLD = 0.2
+
+
+def h60_spark(x: str) -> str:
+    """Spark SQL: portable 60-bit hash — first 15 hex chars of md5 as BIGINT.
+
+    Always non-negative (< 2^60), so modular arithmetic downstream agrees
+    between Spark, numpy uint64, and DuckDB signed BIGINT."""
+    return f"CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def h60_duck(x: str) -> str:
+    """DuckDB twin of h60_spark — verified bit-identical cross-engine."""
+    return f"('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
 @register(
@@ -241,15 +257,63 @@ def minhash_signatures(d: DataFrame) -> DataFrame:
     ).filter(F.size("sh") > 0)
     hashed = shingled.select(
         "doc_id",
-        F.expr("transform(sh, s -> xxhash64(s))").alias("hs"),
+        F.expr(f"transform(sh, s -> {h60_spark('s')})").alias("hs"),
         F.size("sh").alias("n_shingles"),
     )
     return hashed.select("doc_id", sig_udf("hs").alias("sig"), "n_shingles")
 
 
+# The DuckDB oracle replicates the ENTIRE MinHash+LSH pipeline — portable
+# 60-bit shingle hash, the seeded universal-hash family (embedded below as
+# literal lists), 16×4 banding, candidate join, signature-estimated Jaccard —
+# so the driver compare is exact with no banding-recall assumption. All
+# arithmetic stays below 2^61 (hv < 2^31, a < 2^29), so numpy uint64 and
+# DuckDB signed BIGINT agree bit-for-bit.
+_A_LIST, _B_LIST = _hash_family()
+_A_SQL = "[" + ",".join(str(int(x)) for x in _A_LIST) + "]"
+_B_SQL = "[" + ",".join(str(int(x)) for x in _B_LIST) + "]"
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, UNNEST(list_distinct({_SHINGLES_DUCK})) AS g FROM documents
+),
+hv AS (
+  SELECT doc_id, {h60_duck('g')} % {_H_MOD} AS h FROM sh
+),
+idx AS (SELECT UNNEST(range(0, {_N_HASHES})) AS i),
+sig AS (
+  SELECT doc_id, idx.i,
+         MIN((list_extract({_A_SQL}, idx.i + 1) * hv.h
+              + list_extract({_B_SQL}, idx.i + 1)) % {_MERSENNE_P}) AS s
+  FROM hv CROSS JOIN idx
+  GROUP BY doc_id, idx.i
+),
+bandv AS (
+  SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
+         string_agg(s::VARCHAR, ',' ORDER BY i) AS bucket
+  FROM sig GROUP BY doc_id, i // {_ROWS_PER_BAND}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandv a JOIN bandv b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) * 1.0 / {_N_HASHES} AS e
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.i = sa.i
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT doc_a, doc_b, CAST(ROUND(e, 6) AS DOUBLE) AS est_jaccard
+FROM est WHERE e >= {MINHASH_EST_THRESHOLD}
+"""
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 has no DuckDB twin; verified against dedup_ngram_jaccard in tests
+    oracle=_MINHASH_ORACLE,
     description="MinHash(64) + LSH(16 bands × 4) candidate pairs with signature-estimated Jaccard",
     tags=("dedup", "minhash", "lsh", "extension"),
 )
@@ -262,7 +326,9 @@ def dedup_minhash_lsh(
     # shingle+hash pipeline. At 100 TB this is exactly the production shape —
     # signatures are written out once and joined thereafter.
     sigs = minhash_signatures(d).persist()
-    # Band hash: one 64-bit hash of the 4 signature slots in the band.
+    # Band bucket: the 4 signature slots joined into one string key — an
+    # injective encoding (unlike a 64-bit hash of the slots, which could
+    # collide) that the DuckDB oracle reproduces verbatim via string_agg.
     # Slim (3-column) band rows keep the self-join shuffle narrow; signatures
     # re-attach afterward only for the surviving candidate pairs.
     bands = sigs.select(
@@ -273,7 +339,7 @@ def dedup_minhash_lsh(
                     "sig",
                     "sg",
                     f"transform(sequence(0, {_N_BANDS - 1}), "
-                    f"b -> xxhash64(sg[{_ROWS_PER_BAND}*b], sg[{_ROWS_PER_BAND}*b+1], "
+                    f"b -> concat_ws(',', sg[{_ROWS_PER_BAND}*b], sg[{_ROWS_PER_BAND}*b+1], "
                     f"sg[{_ROWS_PER_BAND}*b+2], sg[{_ROWS_PER_BAND}*b+3]))",
                 )
             )
@@ -321,55 +387,92 @@ def dedup_minhash_lsh(
     )
 
 
-# SimHash: 64 sign-summed bit positions from token hashes; near-dup when
-# hamming distance <= 3. Candidate generation by pigeonhole banding: split
-# the 64 bits into 4 chunks of 16; hamming <= 3 implies >= 1 identical chunk.
+# SimHash: 60 sign-summed bit positions from portable token hashes, packed
+# into one BIGINT; near-dup when hamming distance <= 3. Candidate generation
+# by pigeonhole banding: split the 60 bits into 4 chunks of 15; hamming <= 3
+# implies >= 1 identical chunk.
 SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BITS = 60  # the portable h60 hash has 60 usable bits
+_SIMHASH_CHUNKS = 4
+_CHUNK_BITS = _SIMHASH_BITS // _SIMHASH_CHUNKS  # 15
+_CHUNK_MASK = (1 << _CHUNK_BITS) - 1
 
 
 def simhash_bits(d: DataFrame) -> DataFrame:
-    """doc_id, bits: array<int> of 64 sign bits.
+    """doc_id, sim: BIGINT with the 60 sign bits packed little-endian.
 
-    Same hybrid as MinHash: token hashing JVM-side, the 64-bit sign
-    aggregation vectorized in an Arrow batch (unpack bits of all token
-    hashes → column sums → sign).
-    """
+    Same hybrid as MinHash: token hashing JVM-side (portable h60), the
+    sign aggregation vectorized in an Arrow batch (unpack bits of all token
+    hashes → column sums → sign → pack)."""
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
+    from pyspark.sql.types import LongType
 
-    shifts = None
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
 
-    @pandas_udf(ArrayType(IntegerType()))
-    def bits_udf(ths: pd.Series) -> pd.Series:
-        nonlocal shifts
-        if shifts is None:
-            shifts = np.arange(64, dtype=np.uint64)
+    def _pack(sums: np.ndarray) -> np.ndarray:
+        bits = (sums > 0).astype(np.uint64)
+        return (bits * weights[None, :]).sum(axis=1).astype(np.int64)
+
+    @pandas_udf(LongType())
+    def sim_udf(ths: pd.Series) -> pd.Series:
         # Flattened batch + add.reduceat per doc boundary (see sig_udf).
         lens = np.fromiter((len(t) for t in ths), dtype=np.int64, count=len(ths))
+        if len(lens) == 0:
+            return pd.Series([], dtype="int64")
         if lens.sum() == 0 or (lens == 0).any():
-            out = []
-            for th in ths:
+            out = np.empty(len(ths), dtype=np.int64)
+            for j, th in enumerate(ths):
                 h = np.asarray(th, dtype=np.int64).astype(np.uint64)
-                bits01 = (h[:, None] >> shifts[None, :]) & np.uint64(1)
-                sums = (bits01.astype(np.int64) * 2 - 1).sum(axis=0)
-                out.append((sums > 0).astype(np.int32))
+                bits01 = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                out[j] = _pack((bits01 * 2 - 1).sum(axis=0)[None, :])[0]
             return pd.Series(out)
         flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in ths]).astype(np.uint64)
         bits01 = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
         starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
         sums = np.add.reduceat(bits01, starts, axis=0)
-        return pd.Series(list((sums > 0).astype(np.int32)))
+        return pd.Series(_pack(sums))
 
     hashed = spread(d).select(
-        "doc_id", F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias("th")
+        "doc_id", F.expr(f"transform(split(text, ' '), t -> {h60_spark('t')})").alias("th")
     )
-    return hashed.select("doc_id", bits_udf("th").alias("bits"))
+    return hashed.select("doc_id", sim_udf("th").alias("sim"))
+
+
+# Full-pipeline DuckDB oracle: identical token hash, sign aggregation, bit
+# packing, 4×15 pigeonhole banding and bit_count hamming — exact compare.
+_SIMHASH_ORACLE = f"""
+WITH tok AS (SELECT doc_id, UNNEST(str_split(text, ' ')) AS t FROM documents),
+th AS (SELECT doc_id, {h60_duck('t')} AS h FROM tok),
+bitsum AS (
+  SELECT doc_id, r.i, SUM(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT UNNEST(range(0, {_SIMHASH_BITS})) AS i) r
+  GROUP BY doc_id, r.i
+),
+sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sim
+  FROM bitsum GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, sim, r.c, (sim >> ({_CHUNK_BITS} * r.c)) & {_CHUNK_MASK} AS v
+  FROM sim CROSS JOIN (SELECT UNNEST(range(0, {_SIMHASH_CHUNKS})) AS c) r
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sim AS sim_a, b.sim AS sim_b
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_MAX_HAMMING}
+"""
 
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based; verified structurally in tests
-    description="SimHash(64-bit) near-dup pairs, banded candidate join, hamming <= 3",
+    oracle=_SIMHASH_ORACLE,
+    description="SimHash(60-bit, portable hash) near-dup pairs, banded candidate join, hamming <= 3",
     tags=("dedup", "simhash", "extension"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,15 +480,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_bits(d).persist()  # both join sides + hamming read it
     chunks = sigs.select(
         "doc_id",
-        "bits",
+        "sim",
         F.posexplode(
             F.expr(
-                bind1(
-                    "bits",
-                    "bv",
-                    "transform(sequence(0, 3), c -> "
-                    "aggregate(sequence(0, 15), 0L, (acc, i) -> acc * 2 + bv[c*16 + i]))",
-                )
+                f"transform(sequence(0, {_SIMHASH_CHUNKS - 1}), "
+                f"c -> shiftright(sim, {_CHUNK_BITS} * c) & {_CHUNK_MASK})"
             )
         ).alias("chunk_idx", "chunk_val"),
     )
@@ -401,12 +500,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.bits").alias("bits_a"),
-            F.col("b.bits").alias("bits_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.expr("aggregate(zip_with(bits_a, bits_b, (x, y) -> abs(x - y)), 0, (acc, v) -> acc + v)")
+    hamming = F.expr("bit_count(sim_a ^ sim_b)")
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)

@@ -126,7 +126,19 @@ def decode_image_meta(images: DataFrame) -> DataFrame:
 
 @register(
     "multimodal_decode_pipeline",
-    oracle=None,  # decode stub is engine-internal; structure verified in tests
+    # The synthesized FIMG container is deterministic from `text` (header
+    # dims come from md5(text) bytes; payload is the utf-8 text), so DuckDB
+    # can derive every decoded-metadata aggregate without running the decoder:
+    # width = 1 + u16be(md5 hex 1..4) % 2048, height = same over hex 5..8,
+    # n_bytes = 9-byte header + utf-8 length, and every row decodes ok.
+    oracle="""
+    SELECT 'fimg' AS format, 3 AS channels, TRUE AS decode_ok,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(9 + octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           MAX(1 + (('0x' || substr(md5(text), 1, 4))::INT % 2048)) AS max_width,
+           MAX(1 + (('0x' || substr(md5(text), 5, 4))::INT % 2048)) AS max_height
+    FROM documents
+    """,
     description="Synthesize binary image column → Arrow-batched mapInPandas decode → metadata agg",
     tags=("multimodal", "mapinpandas", "extension"),
 )
