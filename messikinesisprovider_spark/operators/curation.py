@@ -560,28 +560,31 @@ _R["dedup_keep_canonical"].oracle = (
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How much of the corpus the top-N vocabulary entries cover — the
     planning query behind vocabulary sizing. Term frequencies are a
-    map-side-combined aggregation over the exploded corpus; the ranking
-    window then runs over the VOCABULARY (not the corpus), which is orders
-    of magnitude smaller. The top-20 cut means AQE sees a tiny window
-    input; for a full coverage curve at 100 TB, bucket the vocab by
-    frequency decile first (two-stage cumsum: per-bucket totals, then
-    within-bucket), keeping every stage parallel. `cum_freq` is an exact
-    integer running sum; `cum_share` is its single division by the exact
-    corpus token total — deterministic across engines.
+    map-side-combined aggregation over the exploded corpus; the global
+    ranking over the vocabulary uses the two-pass range-partitioned helper
+    (ranking.global_row_number) — per-partition row_number + running sum
+    with broadcast offsets — so no stage ever single-partitions, even when
+    the vocabulary itself is huge. `cum_freq` is an exact integer running
+    sum; `cum_share` is its single division by the exact corpus token
+    total — deterministic across engines.
     """
+    from .ranking import global_row_number
+
     d = tbl(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
     )
-    w = W.orderBy(F.col("freq").desc(), F.col("term"))
-    ranked = tf.select(
-        "term",
-        "freq",
-        F.row_number().over(w).cast("bigint").alias("rnk"),
-        F.sum("freq").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum_freq"),
-    ).filter(F.col("rnk") <= 20)
+    ranked_all, _n = global_row_number(
+        tf,
+        [F.col("freq").desc(), F.col("term")],
+        rn_col="rnk",
+        running_sums={"freq": "cum_freq"},
+    )
+    ranked = ranked_all.select("term", "freq", "rnk", "cum_freq").filter(
+        F.col("rnk") <= 20
+    )
     total_tbl = d.agg(
         F.sum(F.expr(_NWORDS).cast("bigint")).alias("total")
     )
@@ -690,15 +693,18 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. In production the vocabulary comes from a fixed tokenizer
     instead; the plan shape is identical with the vocab read from a file.
     """
+    from .ranking import global_row_number
+
     d = tbl(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    wv = W.orderBy(F.col("freq").desc(), F.col("term"))
-    vocab = (
-        words.groupBy("term")
-        .agg(F.count("*").alias("freq"))
-        .withColumn("rnk", F.row_number().over(wv))
-        .filter(F.col("rnk") <= VOCAB_TOP_N)
-        .select("term", F.lit(True).alias("in_vocab"))
+    tf = words.groupBy("term").agg(F.count("*").alias("freq"))
+    # Two-pass global top-N (ranking.global_row_number): no single-partition
+    # window over the vocabulary.
+    ranked, _n = global_row_number(
+        tf, [F.col("freq").desc(), F.col("term")], rn_col="rnk"
+    )
+    vocab = ranked.filter(F.col("rnk") <= VOCAB_TOP_N).select(
+        "term", F.lit(True).alias("in_vocab")
     )
     n_oov = F.count(F.when(F.col("in_vocab").isNull(), F.lit(1)))
     return (

@@ -558,15 +558,22 @@ def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "rank"),
 )
 def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-pass global ranking (ranking.global_row_number): the ordering is
+    # unique (s_suppkey tiebreak), so RANK == DENSE_RANK == row_number and
+    # NTILE is arithmetic on (row_number, n) — no single-partition window.
+    from .ranking import global_row_number, ntile_of
+
     s = tbl(spark, sf_dir, "supplier")
-    w = W.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
-    return s.select(
+    ranked, n = global_row_number(
+        s, [F.col("s_acctbal").desc(), F.col("s_suppkey")], rn_col="_rn"
+    )
+    return ranked.select(
         "s_suppkey",
         "s_name",
         "s_acctbal",
-        F.rank().over(w).cast("bigint").alias("rnk"),
-        F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.col("_rn").alias("rnk"),
+        F.col("_rn").alias("drnk"),
+        ntile_of(F.col("_rn"), n, 4).alias("quartile"),
     )
 
 

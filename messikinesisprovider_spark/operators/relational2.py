@@ -198,13 +198,17 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "rank"),
 )
 def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two-pass global ranking (ranking.global_row_number): a bare
+    # Window.orderBy would single-partition the whole table at scale.
+    from .ranking import cume_dist_of, global_row_number, percent_rank_of
+
     c = tbl(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    ranked, n = global_row_number(c, ["c_acctbal", "c_custkey"], rn_col="_rn")
+    return ranked.select(
         "c_custkey",
         "c_acctbal",
-        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+        F.round(percent_rank_of(F.col("_rn"), n), 6).cast("double").alias("pct_rank"),
+        F.round(cume_dist_of(F.col("_rn"), n), 6).cast("double").alias("cume"),
     )
 
 
