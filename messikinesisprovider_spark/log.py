@@ -79,7 +79,41 @@ class MessiLog:
         self.technology = technology
         self._ulid_gens: dict[str, MonotonicUlidGenerator] = {}
         self._next_seq: dict[str, int] | None = None
+        self._recover_interrupted_swap(root)
         os.makedirs(root, exist_ok=True)
+
+    @staticmethod
+    def _recover_interrupted_swap(root: str) -> None:
+        """Heal a crash between the two renames of compact/retention_trim.
+
+        The swap is rename(root → .pre-X) then rename(tmp → root): a crash
+        in between leaves no live root but a complete moved-aside copy.
+        Restore that copy — both ops are idempotent and simply re-run.
+        Sequence floors are persisted BEFORE the swap (see retention_trim),
+        so no monotone-sequence state is lost on either recovery path.
+        Stale rewrite outputs (.trimming/.compacting) are discarded: they
+        are not authoritative until the swap completes."""
+        import shutil
+
+        base = root.rstrip("/")
+        root_live = os.path.isdir(root) and any(
+            name.startswith("shard_id=") for name in os.listdir(root)
+        )
+        for suffix in (".pre-trim", ".pre-compact"):
+            old = base + suffix
+            if not os.path.isdir(old):
+                continue
+            if root_live:
+                shutil.rmtree(old)  # swap completed; old copy is leftover
+            else:
+                if os.path.isdir(root):
+                    shutil.rmtree(root)  # empty placeholder dir
+                os.rename(old, root)
+                root_live = True
+        for suffix in (".trimming", ".compacting"):
+            tmp = base + suffix
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
 
     # ------------------------------------------------------------------ admin
     def shards(self) -> list[str]:
@@ -393,12 +427,18 @@ class MessiLog:
             .parquet(tmp)
         )
         rows_after = self.spark.read.schema(LOG_SCHEMA).parquet(tmp).count()
+        # Persist floors BEFORE the swap: floors only ever raise, so an
+        # early write is safe even if the swap never happens — whereas a
+        # crash between the renames with floors unwritten would let a fully
+        # trimmed shard re-issue trimmed sequence numbers (the sidecar is a
+        # sibling file of the root, untouched by the renames; the
+        # interrupted swap itself is healed by _recover_interrupted_swap).
+        with open(self._seq_floor_path(), "w") as f:
+            json.dump(floors, f)
         old = self.root.rstrip("/") + ".pre-trim"
         os.rename(self.root, old)
         os.rename(tmp, self.root)
         shutil.rmtree(old)
-        with open(self._seq_floor_path(), "w") as f:
-            json.dump(floors, f)
         self._next_seq = None  # re-derive (now floor-aware) on next publish
         return {
             "rows_before": rows_before,

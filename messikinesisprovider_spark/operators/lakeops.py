@@ -141,15 +141,23 @@ _CANON_WORDS = 5
     "dedup_incremental_exact",
     oracle=f"""
     WITH keyed AS (
+      -- coalesce text first: Spark's concat_ws maps a NULL token array to
+      -- '' while array_to_string yields NULL, so keying the raw column
+      -- would diverge on null text; with coalesce no null keys exist at all
       SELECT doc_id,
-             md5(array_to_string(string_split(text, ' ')[1:{_CANON_WORDS}], ' ')) AS content_key
+             md5(array_to_string(string_split(coalesce(text, ''), ' ')[1:{_CANON_WORDS}], ' ')) AS content_key
       FROM documents
     ),
     hist AS (SELECT content_key FROM keyed WHERE doc_id % 5 != 0),
     newb AS (SELECT * FROM keyed WHERE doc_id % 5 = 0)
     SELECT content_key, MIN(doc_id) AS doc_id
     FROM newb
-    WHERE content_key NOT IN (SELECT content_key FROM hist)
+    -- NOT EXISTS, not NOT IN: a single NULL content_key in hist would make
+    -- NOT IN return zero rows, while Spark's left_anti keeps null-keyed
+    -- rows — NOT EXISTS matches the anti-join's null semantics.
+    WHERE NOT EXISTS (
+      SELECT 1 FROM hist WHERE hist.content_key = newb.content_key
+    )
     GROUP BY content_key
     """,
     description="Incremental exact dedup: new ingest batch anti-joined against "
@@ -177,7 +185,10 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         "doc_id",
         F.md5(
-            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, _CANON_WORDS))
+            F.concat_ws(
+                " ",
+                F.slice(F.split(F.coalesce(F.col("text"), F.lit("")), " "), 1, _CANON_WORDS),
+            )
         ).alias("content_key"),
     )
     hist = keyed.filter(F.col("doc_id") % 5 != 0).select("content_key")

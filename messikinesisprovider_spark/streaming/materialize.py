@@ -58,6 +58,22 @@ def upsert_snapshot(
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         import os
+        import shutil
+
+        staged = snapshot_dir + ".staging"
+        # Crash recovery for the stage-then-swap below: if a previous batch
+        # died between rmtree(snapshot) and rename(staged), the snapshot is
+        # gone but the staged dir holds the COMPLETE merged state (its write
+        # finished before the swap began — _SUCCESS marker present). Recover
+        # it instead of falling through to the first-batch branch, which
+        # would silently rebuild from the delta alone and lose history. A
+        # staging dir WITHOUT _SUCCESS is an incomplete first-batch write —
+        # discard it.
+        if os.path.exists(staged) and not os.path.exists(snapshot_dir):
+            if os.path.exists(os.path.join(staged, "_SUCCESS")):
+                os.rename(staged, snapshot_dir)
+            else:
+                shutil.rmtree(staged)
 
         incoming = latest_per_key(batch_df, key, order_cols)
         # Existence check, NOT try/except: a corrupt or unreadable existing
@@ -69,11 +85,10 @@ def upsert_snapshot(
             merged = latest_per_key(current.unionByName(incoming), key, order_cols)
         else:  # first batch: no snapshot yet
             merged = incoming
-        # stage-then-swap write: a failed write leaves the old snapshot intact
-        staged = snapshot_dir + ".staging"
+        # stage-then-swap write: a failed write leaves the old snapshot
+        # intact; a crash between rmtree and rename is healed by the
+        # recovery block at batch entry above.
         merged.write.mode("overwrite").parquet(staged)
-        import shutil, os
-
         if os.path.exists(snapshot_dir):
             shutil.rmtree(snapshot_dir)
         os.rename(staged, snapshot_dir)

@@ -152,13 +152,18 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _staged_events_log(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="cdc_upsert_")
     snap = os.path.join(base, "snapshot")
-    stream = consume.stream_log(spark, root)
+    # Rank the winner on a NUMERIC event id: external_id is an unpadded
+    # decimal string, and string ordering diverges from the oracle's
+    # numeric tiebreak when ids differ in digit count ("9" > "10").
+    stream = consume.stream_log(spark, root).withColumn(
+        "event_id_num", F.col("external_id").cast("bigint")
+    )
     q = materialize.upsert_snapshot(
         stream,
         snapshot_dir=snap,
         checkpoint_dir=os.path.join(base, "ckpt"),
         key="partition_key",
-        order_cols=("ts", "external_id"),
+        order_cols=("ts", "event_id_num"),
     )
     q.awaitTermination()
     snapshot = spark.read.parquet(snap).select(

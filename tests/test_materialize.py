@@ -41,3 +41,61 @@ def test_snapshot_keeps_latest_per_key(spark, tmp_path):
         {"partition_key": "p", "external_id": "k2", "attributes": {"v": "21"}},
     ], now=T0 + timedelta(seconds=2))
     assert drain()["k2"] == {"v": "21"}
+
+
+def test_crash_between_swap_renames_recovers_staging(spark, tmp_path):
+    """Crash after rmtree(snapshot) but before rename(staging): the staged
+    dir holds the complete merged state (_SUCCESS present) and must be
+    recovered — NOT fall through to the first-batch branch, which would
+    rebuild from the delta alone and lose every previously materialized key."""
+    import os
+    import shutil
+
+    log = MessiLog(spark, str(tmp_path / "log"), n_shards=1)
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        q = upsert_snapshot(consume.stream_log(spark, log.root), snap, ckpt)
+        q.awaitTermination()
+        return {
+            r["external_id"]: dict(r["attributes"] or {})
+            for r in spark.read.parquet(snap).collect()
+        }
+
+    log.publish("t", [
+        {"partition_key": "p", "external_id": "k1", "attributes": {"v": "1"}},
+    ], now=T0)
+    assert drain() == {"k1": {"v": "1"}}
+
+    # simulate the crash window: completed staging exists, snapshot gone
+    os.rename(snap, snap + ".staging")
+    assert os.path.exists(snap + ".staging/_SUCCESS")
+
+    log.publish("t", [
+        {"partition_key": "p", "external_id": "k2", "attributes": {"v": "2"}},
+    ], now=T0 + timedelta(seconds=1))
+    out = drain()
+    assert out == {"k1": {"v": "1"}, "k2": {"v": "2"}}  # k1 survived
+    assert not os.path.exists(snap + ".staging")
+
+
+def test_incomplete_first_batch_staging_is_discarded(spark, tmp_path):
+    """A staging dir WITHOUT _SUCCESS is an interrupted first-batch write —
+    it must be discarded, not promoted to a (corrupt) snapshot."""
+    import os
+
+    log = MessiLog(spark, str(tmp_path / "log"), n_shards=1)
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(snap + ".staging")
+    with open(snap + ".staging/part-incomplete.parquet", "wb") as f:
+        f.write(b"not parquet")
+
+    log.publish("t", [
+        {"partition_key": "p", "external_id": "k1", "attributes": {"v": "1"}},
+    ], now=T0)
+    q = upsert_snapshot(consume.stream_log(spark, log.root), snap, ckpt)
+    q.awaitTermination()
+    rows = {r["external_id"] for r in spark.read.parquet(snap).collect()}
+    assert rows == {"k1"}

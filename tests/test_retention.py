@@ -127,3 +127,28 @@ def test_streaming_checkpoint_survives_retention_trim(spark, tmp_path):
     got = drain()  # resumes from committed offsets over the rewritten log
     # exactly the new records appended: no replay of olds, no loss of news
     assert sorted(got) == sorted([f"old{i}" for i in range(4)] + [f"new{i}" for i in range(3)])
+
+
+def test_interrupted_trim_swap_recovers_on_open(spark, tmp_path):
+    """Crash between the two renames of retention_trim: root is gone, the
+    .pre-trim copy holds the full log. Re-opening the log must restore it
+    (and the pre-swap seq-floor write must survive), not silently start an
+    empty log."""
+    import os
+
+    root = str(tmp_path / "log")
+    log = MessiLog(spark, root, n_shards=1)
+    _publish_epoch(log, "a", 4, T0)
+    # trim everything: floors persist (written before the swap)
+    log.retention_trim(older_than=T1)
+    assert _all_rows(log) == []
+
+    # simulate the crash window on a subsequent maintenance op
+    os.rename(root, root + ".pre-trim")
+    log2 = MessiLog(spark, root, n_shards=1)
+    assert not os.path.exists(root + ".pre-trim")
+    # the restored (fully trimmed) log still honors the sequence floor
+    stamped = log2.publish(
+        "t", [{"partition_key": "p", "external_id": "new"}], now=T1
+    )
+    assert stamped[0]["sequence_number"] >= 4
