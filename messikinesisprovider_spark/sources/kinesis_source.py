@@ -270,6 +270,27 @@ class KinesisMessiDataSource(DataSource):
     def schema(self):
         return KINESIS_SCHEMA
 
+    def streamReader(self, schema):
+        """Executor-parallel reader (one InputPartition per shard,
+        kinesis_partitioned.py) when `metadatadir` is configured or
+        `option("reader", "partitioned")` is explicit; otherwise raises
+        PySparkNotImplementedError so the engine falls back to the
+        driver-side simple reader below. Checkpoints are not portable
+        between the two readers."""
+        reader = self.options.get("reader", "").lower()
+        use_partitioned = reader == "partitioned" or (
+            reader != "simple" and "metadatadir" in self.options
+        )
+        if not use_partitioned:
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
+            )
+        from .kinesis_partitioned import KinesisPartitionedStreamReader
+
+        return KinesisPartitionedStreamReader(self.options)
+
     def simpleStreamReader(self, schema):
         return KinesisStreamReader(self.options)
 

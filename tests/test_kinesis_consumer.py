@@ -262,6 +262,13 @@ def test_f5_expiry_before_first_fetch_uses_cursor(tmp_path):
 # -- Spark streaming source --------------------------------------------------
 
 
+@pytest.fixture(params=["simple", "partitioned"])
+def reader_mode(request):
+    """Every Spark-source TCK case runs against BOTH the driver-side simple
+    reader and the executor-parallel partitioned reader."""
+    return request.param
+
+
 @pytest.fixture()
 def spark_stream(spark, tmp_path):
     kinesis_source.register(spark)
@@ -269,7 +276,7 @@ def spark_stream(spark, tmp_path):
     return spark, client, str(tmp_path / "broker")
 
 
-def _reader(spark, statedir, **opts):
+def _reader(spark, statedir, mode="simple", meta=None, **opts):
     r = (
         spark.readStream.format("kinesismessi")
         .option("streamname", "s")
@@ -280,16 +287,18 @@ def _reader(spark, statedir, **opts):
         .option("statedir", statedir)
         .option("pollintervalms", "10")
     )
+    if mode == "partitioned":
+        r = r.option("reader", "partitioned").option("metadatadir", meta)
     for k, v in opts.items():
         r = r.option(k, v)
     return r.load()
 
 
-def test_spark_source_delivers_all(spark_stream, tmp_path):
+def test_spark_source_delivers_all(spark_stream, tmp_path, reader_mode):
     spark, client, statedir = spark_stream
     name = "k" + uuid.uuid4().hex[:10]
     q = (
-        _reader(spark, statedir)
+        _reader(spark, statedir, reader_mode, str(tmp_path / "meta1"))
         .writeStream.format("memory")
         .queryName(name)
         .option("checkpointLocation", str(tmp_path / "ck1"))
@@ -306,13 +315,13 @@ def test_spark_source_delivers_all(spark_stream, tmp_path):
     assert rows[0]["ts"] is not None
 
 
-def test_spark_source_incremental_restart_exactly_once(spark_stream, tmp_path):
+def test_spark_source_incremental_restart_exactly_once(spark_stream, tmp_path, reader_mode):
     spark, client, statedir = spark_stream
     ckpt, out_dir = str(tmp_path / "ck2"), str(tmp_path / "out2")
 
     def drain():
         q = (
-            _reader(spark, statedir)
+            _reader(spark, statedir, reader_mode, str(tmp_path / "meta2"))
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", ckpt)
@@ -330,14 +339,14 @@ def test_spark_source_incremental_restart_exactly_once(spark_stream, tmp_path):
     assert out.filter(out.external_id == "after-restart").count() == 1
 
 
-def test_spark_source_survives_rate_limit_fault(spark_stream, tmp_path):
+def test_spark_source_survives_rate_limit_fault(spark_stream, tmp_path, reader_mode):
     spark, client, statedir = spark_stream
     ckpt, out_dir = str(tmp_path / "ck3"), str(tmp_path / "out3")
     client.trigger_rate_limit_on_next_get_records()
 
     def drain():
         q = (
-            _reader(spark, statedir)
+            _reader(spark, statedir, reader_mode, str(tmp_path / "meta3"))
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", ckpt)
@@ -368,7 +377,7 @@ def test_list_shard_ids_paginates_at_10(tmp_path):
     assert len(one_page) == 10
 
 
-def test_spark_source_wide_stream_no_shard_loss(spark, tmp_path):
+def test_spark_source_wide_stream_no_shard_loss(spark, tmp_path, reader_mode):
     """25-shard stream: an unpaginated shard listing reads only the first
     DescribeStream page and silently never consumes shards 11+ — permanent
     data loss. Every record put on every shard must come back (VERDICT r2 #1)."""
@@ -385,7 +394,7 @@ def test_spark_source_wide_stream_no_shard_loss(spark, tmp_path):
     assert len(put_shards) > 10  # the fixture really spans multiple pages
     name = "k" + uuid.uuid4().hex[:10]
     q = (
-        _reader(spark, str(tmp_path / "wb"))
+        _reader(spark, str(tmp_path / "wb"), reader_mode, str(tmp_path / "metaw"))
         .writeStream.format("memory")
         .queryName(name)
         .option("checkpointLocation", str(tmp_path / "ckw"))
@@ -399,7 +408,7 @@ def test_spark_source_wide_stream_no_shard_loss(spark, tmp_path):
     assert got_shards == put_shards
 
 
-def test_spark_source_multishard_fifo(spark, tmp_path):
+def test_spark_source_multishard_fifo(spark, tmp_path, reader_mode):
     kinesis_source.register(spark)
     client = kinesis_sim.FakeKinesisClient(str(tmp_path / "mb"))
     client.create_stream(StreamName="s", ShardCount=4)
@@ -410,7 +419,7 @@ def test_spark_source_multishard_fifo(spark, tmp_path):
         )
     name = "k" + uuid.uuid4().hex[:10]
     q = (
-        _reader(spark, str(tmp_path / "mb"))
+        _reader(spark, str(tmp_path / "mb"), reader_mode, str(tmp_path / "meta4"))
         .writeStream.format("memory")
         .queryName(name)
         .option("checkpointLocation", str(tmp_path / "ck4"))
