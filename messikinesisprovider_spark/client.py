@@ -133,10 +133,16 @@ class MessiShard:
         return MessiStreamingConsumer(self._log, self._topic, self.shard_id, cursor)
 
 
+# Internal bound on an async receive's wait for late arrivals — the
+# reference hard-codes 5 minutes (KinesisMessiStreamingConsumer.java:162-173).
+ASYNC_RECEIVE_TIMEOUT = timedelta(minutes=5)
+
+
 class MessiStreamingConsumer:
     """Pull-based consumer over the batch-replay scan — receive() semantics of
     KinesisMessiStreamingConsumer.java:54-159 (None on exhaustion/timeout),
-    with seek() re-positioning (:181-187)."""
+    receive_async() (:162-173, 5-minute internal timeout) and seek()
+    re-positioning (:181-187)."""
 
     def __init__(self, log: MessiLog, topic: str, shard_id: str, cursor: MessiCursor):
         self._log = log
@@ -145,6 +151,8 @@ class MessiStreamingConsumer:
         self._cursor = cursor
         self._buffer: list[dict] | None = None
         self._pos = 0
+        self._last: dict | None = None
+        self._async_ex = None
 
     def _fill(self) -> None:
         if self._buffer is None:
@@ -160,13 +168,58 @@ class MessiStreamingConsumer:
             return None
         msg = self._buffer[self._pos]
         self._pos += 1
+        self._last = msg
         return msg
+
+    def _refresh_tail(self) -> None:
+        """Drop a drained buffer and advance the cursor past the last
+        delivered message, so the next fill re-scans the log for late
+        arrivals without replaying anything."""
+        if self._buffer is not None and self._pos >= len(self._buffer):
+            if self._last is not None:
+                self._cursor = self._log.cursor_after(self._last)
+            self._buffer = None
+
+    def receive_async(
+        self, timeout: timedelta | None = None, poll_s: float = 0.05
+    ) -> "Future[dict | None]":
+        """Async receive facade (KinesisMessiStreamingConsumer.java:162-173):
+        a Future resolving to the next message, or None when nothing arrives
+        within the internal bound (the reference hard-codes 5 minutes;
+        `timeout` overrides it, mainly for tests).
+
+        Unlike sync receive() — which returns None at the current tail —
+        the async form keeps re-scanning the log for late arrivals until
+        the bound. Futures are served by a single worker thread, so
+        multiple outstanding receives resolve in broker order."""
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._async_ex is None:
+            self._async_ex = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="messi-receive-async"
+            )
+        bound_s = (timeout or ASYNC_RECEIVE_TIMEOUT).total_seconds()
+
+        def run() -> dict | None:
+            deadline = _time.monotonic() + bound_s
+            while True:
+                msg = self.receive()
+                if msg is not None:
+                    return msg
+                if _time.monotonic() >= deadline:
+                    return None  # the reference's timeout-null
+                self._refresh_tail()
+                _time.sleep(poll_s)
+
+        return self._async_ex.submit(run)
 
     def seek(self, t: datetime) -> None:
         """Clear the buffer and re-position at a timestamp
         (KinesisStreamingBuffer.java:295-324 semantics)."""
         self._cursor = MessiCursor.at_time(t)
         self._buffer = None
+        self._last = None
 
     def current_position(self):
         raise UnsupportedOperation(

@@ -4,11 +4,16 @@ The reference batches messages into one PutRecords call, then loops re-putting
 only the failed subset until none remain, logging a warning that retries can
 reorder within the batch (KinesisMessiProducer.java:60,103-160, warning :112).
 
-Spark-first shape: a `foreachBatch` sink. Each microbatch is "one PutRecords
-call"; the failed-subset retry loop runs inside the batch function. ULIDs are
-assigned before the first attempt, so retries are idempotent and a downstream
-`effectively_once` consumer collapses any duplicates (the reference's logical-
-order-recovery story, SURVEY.md §7.4 item 5).
+Spark-first shape: a `foreachBatch` sink. The DEFAULT publisher is the
+executor-side `foreach_partition_publisher` — each partition opens its own
+transport and puts in 500-record chunks, so publish throughput scales with
+executors and nothing is collected to the driver. The driver-side
+`foreach_batch_publisher` remains for simulator-backed tests and tiny
+streams (its transport needn't be serializable), bounded by microbatch
+admission. Both run the failed-subset retry loop; ULIDs are assigned before
+the first attempt, so retries are idempotent and a downstream
+`effectively_once` consumer collapses any duplicates (the reference's
+logical-order-recovery story, SURVEY.md §7.4 item 5).
 """
 
 from __future__ import annotations
@@ -62,43 +67,17 @@ def publish_with_retry(
     return rounds
 
 
-def foreach_batch_publisher(
-    transport_factory: Callable[[], Callable[[list[dict]], None]],
-    max_rounds: int = 10,
-):
-    """Build a foreachBatch function that publishes each microbatch with
-    failed-subset retry. `transport_factory` is invoked per batch on the
-    driver (e.g. returning a boto3 put_records adapter or a test fake).
-
-    Usage:
-        df.writeStream.foreachBatch(foreach_batch_publisher(make_transport))
-          .option("checkpointLocation", ...).start()
-    """
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        transport = transport_factory()
-        # One "PutRecords request" per partition, executed on executors would
-        # need a serializable transport; the driver-side collect here bounds
-        # at microbatch admission size (maxFilesPerTrigger), matching the
-        # reference's 500-record PutRecords ceiling. For cluster-scale sinks
-        # swap to batch_df.foreachPartition with an executor-side transport.
-        records = [r.asDict(recursive=True) for r in batch_df.collect()]
-        if records:
-            publish_with_retry(records, transport, max_rounds=max_rounds)
-
-    return handle
-
-
 def foreach_partition_publisher(
     transport_factory: Callable[[], Callable[[list[dict]], None]],
     max_rounds: int = 10,
     batch_size: int = 500,
 ):
-    """Executor-side variant of foreach_batch_publisher for cluster-scale
-    sinks: each partition opens its own transport (factory must be
-    serializable) and publishes its rows in `batch_size` chunks — the analog
-    of the reference's one-PutRecords-per-500-records ceiling — with the same
-    failed-subset retry loop per chunk.
+    """The DEFAULT publishing sink: executor-side, cluster-scale. Each
+    partition opens its own transport (factory must be serializable) and
+    publishes its rows in `batch_size` chunks — the analog of the
+    reference's one-PutRecords-per-500-records ceiling — with the same
+    failed-subset retry loop per chunk. Nothing is collected to the driver;
+    throughput scales with executor count.
 
     Usage:
         df.writeStream.foreachBatch(foreach_partition_publisher(make_transport))
@@ -118,5 +97,29 @@ def foreach_partition_publisher(
                 publish_with_retry(chunk, transport, max_rounds=max_rounds)
 
         batch_df.foreachPartition(publish_partition)
+
+    return handle
+
+
+def foreach_batch_publisher(
+    transport_factory: Callable[[], Callable[[list[dict]], None]],
+    max_rounds: int = 10,
+):
+    """Driver-side publisher for SIMULATOR tests and tiny streams — use
+    `foreach_partition_publisher` (above) for anything cluster-scale.
+    `transport_factory` is invoked per batch on the driver, so the
+    transport needn't be serializable (handy for in-process fakes); the
+    collect is bounded by microbatch admission (maxFilesPerTrigger).
+
+    Usage:
+        df.writeStream.foreachBatch(foreach_batch_publisher(make_transport))
+          .option("checkpointLocation", ...).start()
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        transport = transport_factory()
+        records = [r.asDict(recursive=True) for r in batch_df.collect()]
+        if records:
+            publish_with_retry(records, transport, max_rounds=max_rounds)
 
     return handle

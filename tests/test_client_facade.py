@@ -108,3 +108,50 @@ def test_publish_async_returns_future_and_preserves_order(spark, tmp_path):
     consumer = shard.streaming_consumer(shard.cursor_at_trim_horizon())
     got = [consumer.receive()["external_id"] for _ in range(2)]
     assert got == ["a", "b"]
+
+
+# -- receive_async (KinesisMessiStreamingConsumer.java:162-173) --------------
+
+
+def test_receive_async_drains_in_order(client):
+    _publish_abcd(client)
+    topic = client.topic_of("the-topic")
+    shard = topic.shard_of(topic.first_shard())
+    consumer = shard.streaming_consumer(shard.cursor_at_trim_horizon())
+    futures = [consumer.receive_async() for _ in range(4)]
+    assert [f.result(timeout=30)["external_id"] for f in futures] == ["a", "b", "c", "d"]
+
+
+def test_receive_async_times_out_null_on_empty(client):
+    topic = client.topic_of("the-topic")
+    shard = topic.shard_of(topic.first_shard())
+    consumer = shard.streaming_consumer(shard.cursor_at_trim_horizon())
+    # reference semantics: resolves to null at the internal timeout
+    f = consumer.receive_async(timeout=timedelta(milliseconds=200))
+    assert f.result(timeout=30) is None
+
+
+def test_receive_async_picks_up_late_publish(client):
+    """Unlike sync receive (None at the tail), a pending async receive keeps
+    re-scanning and resolves once a message arrives within the bound."""
+    _publish_abcd(client)
+    topic = client.topic_of("the-topic")
+    shard = topic.shard_of(topic.first_shard())
+    consumer = shard.streaming_consumer(shard.cursor_at_trim_horizon())
+    for _ in range(4):
+        assert consumer.receive_async().result(timeout=30) is not None
+    pending = consumer.receive_async(timeout=timedelta(seconds=20))
+    topic.producer().publish(
+        {"partition_key": "pk1", "external_id": "late"},
+        now=T0 + timedelta(seconds=1),
+    )
+    assert pending.result(timeout=30)["external_id"] == "late"
+
+
+def test_receive_async_then_sync_does_not_replay(client):
+    _publish_abcd(client)
+    topic = client.topic_of("the-topic")
+    shard = topic.shard_of(topic.first_shard())
+    consumer = shard.streaming_consumer(shard.cursor_at_trim_horizon())
+    assert consumer.receive_async().result(timeout=30)["external_id"] == "a"
+    assert consumer.receive()["external_id"] == "b"
