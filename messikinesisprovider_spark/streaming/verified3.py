@@ -1,0 +1,88 @@
+"""Oracle-verified streaming topologies, round 3 — registered after all
+earlier modules (append-only registry order).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .verified2 import _staged_kinesis
+
+
+@register(
+    "streaming_kinesis_pipeline_partitioned",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Kinesis consumer path through the EXECUTOR-PARALLEL reader: "
+    "one InputPartition per shard, GetRecords in executor workers, "
+    "sidecar-reported sequence offsets; oracle = batch aggregation of the "
+    "source table",
+    tags=("streaming", "kinesis", "consumer", "partitioned", "verified"),
+)
+def streaming_kinesis_pipeline_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partitioned twin of `streaming_kinesis_pipeline`: same wire-encoded
+    broker staging, but consumed via the executor-parallel reader
+    (sources/kinesis_partitioned.py) — shard slices fan out to executor
+    Python workers, which report consumed sequences through the metadata
+    sidecar. The oracle sees the same events straight from parquet, so
+    shard-slice planning, executor-side decode, and the sidecar offset
+    round-trip all have to be lossless and duplicate-free for the hash to
+    match.
+
+    Unlike the simple reader (one prefetched fill per availableNow run,
+    hence its drain loop), a partitioned batch reads each shard to the tip,
+    so ONE availableNow pass drains the backlog; a second pass asserts
+    nothing more arrives.
+    """
+    from ..sources.kinesis_source import register as register_source
+
+    statedir = _staged_kinesis(spark, sf_dir)
+    register_source(spark)
+    base = tempfile.mkdtemp(prefix="skpp_")
+    out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.format("kinesismessi")
+        .option("streamname", "events")
+        .option(
+            "clientfactory",
+            "messikinesisprovider_spark.sources.kinesis_sim:client_from_options",
+        )
+        .option("statedir", statedir)
+        .option("pollintervalms", "10")
+        .option("reader", "partitioned")
+        .option("metadatadir", os.path.join(base, "meta"))
+        .load()
+    )
+    slim = stream.select(
+        F.col("attributes")["event_type"].alias("event_type"),
+        F.col("partition_key").alias("user_key"),
+    )
+    prev = -1
+    for _ in range(2):  # pass 1 drains to tip; pass 2 must append nothing
+        q = (
+            slim.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(out_dir).count()
+        if n == prev:
+            break
+        prev = n
+    drained = spark.read.parquet(out_dir)
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_key").alias("n_users"),
+    )
