@@ -70,6 +70,12 @@ HEADLINE = [
     "zorder_morton_layout",
     # one-pass curation composition: gate -> dedup -> accounting
     "curation_pipeline_e2e",
+    # round 3 additions: the two-pass range-partitioned global ranking
+    # (replaces the single-partition window) and the hash-threshold
+    # sampling/split family.
+    "window_rank_dense_ntile",
+    "sample_stratified_hash",
+    "split_train_val_test",
 ]
 
 

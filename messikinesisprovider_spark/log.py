@@ -215,14 +215,45 @@ class MessiLog:
         if self._next_seq is None:
             self._next_seq = {s: 0 for s in self.shards()}
             if self.exists():
-                for row in (
-                    self._raw().groupBy("shard_id").agg(F.max("sequence_number").alias("m")).collect()
-                ):
-                    self._next_seq[row["shard_id"]] = row["m"] + 1
+                for shard, mx in self._footer_max_sequences().items():
+                    self._next_seq[shard] = mx + 1
             for shard, floor in self._seq_floors().items():
                 if floor > self._next_seq.get(shard, 0):
                     self._next_seq[shard] = floor
         return self._next_seq
+
+    def _footer_max_sequences(self) -> dict[str, int]:
+        """Per-shard max sequence from parquet FOOTER statistics — a pure
+        metadata walk (O(#files) footer reads, no Spark job, no data scan).
+        Replaces the former full-log groupBy(shard).max() on first publish;
+        at warehouse scale this is the difference between an instant driver
+        loop and a cluster job over the whole log."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        out: dict[str, int] = {}
+        for path in _glob.glob(os.path.join(self.root, "shard_id=*", "*.parquet")):
+            shard = os.path.basename(os.path.dirname(path)).split("=", 1)[1]
+            md = pq.ParquetFile(path).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == "sequence_number"
+            )
+            mx: int | None = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mx = st.max if mx is None else max(mx, st.max)
+                else:  # stats disabled for this file: read the one column
+                    col = pq.read_table(path, columns=["sequence_number"])
+                    vals = col["sequence_number"].to_pylist()
+                    if vals:
+                        mx = max(vals) if mx is None else max(mx, max(vals))
+                    break
+            if mx is not None and mx > out.get(shard, -1):
+                out[shard] = mx
+        return out
 
     # ------------------------------------------------------------------- read
     def _raw(self) -> DataFrame:

@@ -151,9 +151,12 @@ def dedup_ngram_jaccard(
         .filter(F.col("df") > max_shingle_df)
         .select("g")
     )
-    # Persist: both self-join sides and the per-doc counts scan the capped
-    # shingle set; uncached each would recompute shingling + the df cap.
-    sh = sh_all.join(F.broadcast(hot), "g", "left_anti").persist()
+    # No persist(): measured at sf0.1, recomputing the shingle pipeline per
+    # scan (counts + both join sides) beats memory-caching it by ~0.7 s —
+    # cache serialization costs more than the recompute at these sizes. At
+    # warehouse scale the shingle set is materialized ONCE to storage and
+    # every pass reads that table; memory persist is the wrong analog.
+    sh = sh_all.join(F.broadcast(hot), "g", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -28,11 +28,15 @@ the same checkpoint shape as the reference (KinesisMessiCursor.java:59-68).
 Restart resumes AFTER_SEQUENCE_NUMBER per shard; `readBetweenOffsets` replays
 a write-ahead-logged batch deterministically for failure recovery.
 
-This is a `SimpleDataSourceStreamReader`: fetching happens in the driver-side
-planning process, which is exactly how a GetRecords consumer behaves anyway —
-Kinesis caps reads at 1000 records / 5 req/s per shard, so per-shard
-throughput is bounded by the API, not by Spark parallelism. Scale comes from
-shard count; for very wide streams, register one query per shard group.
+Two readers live behind this format. The default here is a
+`SimpleDataSourceStreamReader`: fetching happens in the driver-side planning
+process — adequate for tens of shards (Kinesis caps reads at 1000 records /
+5 req/s per shard, so per-shard throughput is API-bound), and its per-shard
+consumers keep poll pacing and backoff state across microbatches. For wide
+streams, `option("metadatadir", ...)` (or `option("reader", "partitioned")`)
+selects the EXECUTOR-PARALLEL reader in kinesis_partitioned.py: one
+InputPartition per shard, GetRecords in executor workers, sidecar-reported
+sequence offsets. Checkpoints are not portable between the two.
 
 Sequence numbers stay opaque strings end-to-end (real Kinesis sequence
 numbers exceed int64), so this source's schema is the message envelope plus

@@ -35,6 +35,11 @@ QUERIES = [
     "heavy_hitter_tokens",
     "triangle_count",
     "target_encode_loo",
+    # round 3: two-pass global ranking + hash sampling family
+    "window_rank_dense_ntile",
+    "percent_rank_cume",
+    "sample_stratified_hash",
+    "split_train_val_test",
 ]
 
 
