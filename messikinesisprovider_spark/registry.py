@@ -83,5 +83,6 @@ def all_specs() -> dict[str, QuerySpec]:
     from .streaming import verified2 as _verified2  # noqa: F401  (round 2, appended)
     from .operators import sampling3  # noqa: F401  (round 3, appended)
     from .streaming import verified3 as _verified3  # noqa: F401  (round 3, appended)
+    from .operators import pipeline3  # noqa: F401  (round 3, appended)
 
     return dict(_REGISTRY)
