@@ -236,9 +236,12 @@ class MessiLog:
         for path in _glob.glob(os.path.join(self.root, "shard_id=*", "*.parquet")):
             shard = os.path.basename(os.path.dirname(path)).split("=", 1)[1]
             md = pq.ParquetFile(path).metadata
+            # match the FULL dotted path: the flattened parquet schema also
+            # contains provider.sequence_number (a string leaf with the same
+            # leaf name) — leaf-name matching would read the wrong column
             idx = next(
                 i for i in range(md.num_columns)
-                if md.schema.column(i).name == "sequence_number"
+                if md.schema.column(i).path == "sequence_number"
             )
             mx: int | None = None
             for rg in range(md.num_row_groups):
@@ -440,14 +443,12 @@ class MessiLog:
         cutoff = _naive(older_than)
         df = self._raw()
         rows_before = df.count()
-        # floors BEFORE the rewrite: max+1 over the full (untrimmed) log
+        # floors BEFORE the rewrite: max+1 over the full (untrimmed) log,
+        # from parquet footer statistics (metadata walk, no Spark job —
+        # same path as _sequence_state)
         floors = self._seq_floors()
-        for row in (
-            df.groupBy("shard_id").agg(F.max("sequence_number").alias("m")).collect()
-        ):
-            floors[row["shard_id"]] = max(
-                floors.get(row["shard_id"], 0), row["m"] + 1
-            )
+        for shard, mx in self._footer_max_sequences().items():
+            floors[shard] = max(floors.get(shard, 0), mx + 1)
         kept = df.filter(F.col("arrival_ts") >= F.lit(cutoff))
         tmp = self.root.rstrip("/") + ".trimming"
         (
