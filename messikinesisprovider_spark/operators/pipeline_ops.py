@@ -352,9 +352,21 @@ def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_distinct_rollup",
-    oracle=None,  # HLL estimates have no cross-engine oracle; accuracy pinned in tests
+    # HLL registers are engine-internal, so the portable output is the exact
+    # distinct count plus a boolean asserting the sketch estimate (per source
+    # AND the merged global rollup) landed within tolerance; the oracle
+    # reproduces exact + TRUE. Default lgConfigK=12 → rsd ≈ 1.6%, so a 10%
+    # band is ~6 sigma.
+    oracle="""
+    SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_exact,
+           TRUE AS hll_within_tol
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '__all__', CAST(COUNT(DISTINCT text) AS BIGINT), TRUE FROM documents
+    """,
     description="Mergeable distinct-count sketches: per-source HLL built once, "
-    "unioned to a global estimate without rescanning",
+    "unioned to a global estimate without rescanning; verified in-plan "
+    "against the exact distinct counts",
     tags=("sketch", "hll", "extension"),
 )
 def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,18 +376,32 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate comes from merging 20 sketches, not rescanning the corpus.
     At scale the per-source sketch table is a tiny materialized artifact
     refreshed incrementally; every rollup after that is sketch algebra.
+    The exact distinct count rides along so the sketch (and the merge!) is
+    verified in-plan, not trusted.
     """
     from pyspark.sql.functions import hll_sketch_agg, hll_sketch_estimate, hll_union_agg
 
     d = tbl(spark, sf_dir, "documents")
+
+    def within(est, exact):
+        return (F.abs(est - exact) <= exact * F.lit(0.10)).alias("hll_within_tol")
+
     per_source = d.groupBy("source").agg(
-        hll_sketch_agg(F.xxhash64("text").cast("string")).alias("sk")
+        F.countDistinct("text").alias("n_distinct_exact"),
+        hll_sketch_agg(F.xxhash64("text").cast("string")).alias("sk"),
     )
     per = per_source.select(
-        "source", hll_sketch_estimate("sk").alias("n_distinct_est")
+        "source",
+        "n_distinct_exact",
+        within(hll_sketch_estimate("sk"), F.col("n_distinct_exact")),
     )
-    total = per_source.agg(
+    merged = per_source.agg(
+        hll_sketch_estimate(hll_union_agg("sk")).alias("est_all")
+    )
+    exact_all = d.agg(F.countDistinct("text").alias("n_distinct_exact"))
+    total = exact_all.crossJoin(F.broadcast(merged)).select(
         F.lit("__all__").alias("source"),
-        hll_sketch_estimate(hll_union_agg("sk")).alias("n_distinct_est"),
+        "n_distinct_exact",
+        within(F.col("est_all"), F.col("n_distinct_exact")),
     )
-    return per.unionByName(total).select("source", "n_distinct_est")
+    return per.unionByName(total).select("source", "n_distinct_exact", "hll_within_tol")

@@ -409,14 +409,38 @@ def date_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentile_sketch",
-    oracle=None,  # sketch-based; accuracy vs exact_percentiles checked in tests
-    description="approx_percentile (KLL-style sketch) per group — the 100 TB path for order statistics",
+    # The sketch's member values are engine-internal, so the portable output
+    # is the exact interpolated percentiles plus a boolean asserting every
+    # sketch value landed within 2% relative — the oracle reproduces exact +
+    # TRUE. At accuracy 10000 the rank error is <= n/10000 (a handful of
+    # rows per group here), far inside the band on this distribution.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS DOUBLE) AS p90,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE) AS p99,
+           TRUE AS sketch_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="approx_percentile (KLL-style sketch) per group — the 100 TB "
+    "path for order statistics, verified in-plan against exact percentiles",
     tags=("agg", "percentile", "approx"),
 )
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).cast("double").alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).cast("double").alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).cast("double").alias("p99"),
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").alias(
-            "approx_p50_p90_p99"
-        )
+            "_ap"
+        ),
+    )
+    close = (
+        (F.abs(F.col("_ap")[0] - F.col("p50")) <= F.col("p50") * F.lit(0.02))
+        & (F.abs(F.col("_ap")[1] - F.col("p90")) <= F.col("p90") * F.lit(0.02))
+        & (F.abs(F.col("_ap")[2] - F.col("p99")) <= F.col("p99") * F.lit(0.02))
+    )
+    return agg.select(
+        "l_returnflag", "p50", "p90", "p99", close.alias("sketch_within_tol")
     )

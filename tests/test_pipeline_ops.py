@@ -58,13 +58,14 @@ def test_repetition_ratio_invariants(spark):
 
 
 def test_sketch_rollup_accuracy_and_merge_consistency(spark):
-    rows = {r["source"]: r["n_distinct_est"] for r in
-            pipeline_ops.sketch_distinct_rollup(spark, SF).collect()}
+    rows = {
+        r["source"]: (r["n_distinct_exact"], r["hll_within_tol"])
+        for r in pipeline_ops.sketch_distinct_rollup(spark, SF).collect()
+    }
     d = spark.read.parquet(f"{SF}/documents.parquet")
     exact_total = d.select("text").distinct().count()
-    est_total = rows.pop("__all__")
-    # HLL default lgConfigK=12: well under 5% error at these cardinalities
-    assert abs(est_total - exact_total) / exact_total < 0.05
-    # merged estimate must be consistent with the per-source sketches:
-    # at least the largest single source, at most the sum
-    assert max(rows.values()) <= est_total <= sum(rows.values()) * 1.01
+    total_exact, total_tol = rows.pop("__all__")
+    assert total_exact == exact_total
+    # per-source estimates AND the merged global estimate are in tolerance
+    assert total_tol and all(tol for _, tol in rows.values())
+    assert sum(n for n, _ in rows.values()) >= exact_total  # sources partition docs
