@@ -129,11 +129,83 @@ def lsh_buckets_expr(vec_col: str) -> "F.Column":
     )
 
 
+# Full-pipeline DuckDB oracle: the SAME rounded plane literals, bucket fold
+# (acc*2+bit over ascending planes == bit_p << (7-p)), Hamming-1 multiprobe,
+# candidate dedup, exact rerank and per-query top-k — so the driver compare
+# is exact and does NOT depend on LSH recall. Float determinism: plane/dot
+# folds are sequential ascending in both engines (the proven
+# sim_topk_bruteforce convention), and the decimal plane literals parse to
+# identical doubles.
+def _planes_duck_literal() -> str:
+    planes = _hyperplanes()
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(str(x) for x in p) + "]" for p in tb) + "]"
+            for tb in planes
+        )
+        + "]"
+    )
+
+
+def _sim_ann_lsh_oracle() -> str:
+    P = _planes_duck_literal()
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ),
+    pl AS (
+      -- materialize one row per (table, plane) with its 64-weight list, so
+      -- the per-vector dot reads a column value instead of re-extracting
+      -- from the 3-level literal per element
+      SELECT tt.t, pp.p,
+             list_extract(list_extract({P}, tt.t + 1), pp.p + 1) AS w
+      FROM (SELECT UNNEST(range(0, {N_TABLES})) AS t) tt
+      CROSS JOIN (SELECT UNNEST(range(0, {N_PLANES})) AS p) pp
+    ),
+    b AS (
+      SELECT e.vec_id, pl.t,
+             CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {DIM + 1}),
+                        i -> pl.w[i] * e.v[i])) > 0
+                  THEN (CAST(1 AS BIGINT) << ({N_PLANES - 1} - pl.p)) ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN pl
+      GROUP BY e.vec_id, pl.t
+    ),
+    qp AS (
+      SELECT vec_id AS query_id, t,
+             UNNEST(list_distinct(list_prepend(bucket,
+               list_transform(range(0, {N_PLANES}), i -> xor(bucket, (CAST(1 AS BIGINT) << i)))))) AS bucket
+      FROM b WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT qp.query_id, ix.vec_id
+      FROM qp JOIN b ix ON ix.t = qp.t AND ix.bucket = qp.bucket
+      WHERE ix.vec_id != qp.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id,
+             CAST(ROUND(list_sum(list_transform(range(1, {DIM + 1}), i -> q.v[i] * n.v[i]))
+                        / (q.nrm * n.nrm), 6) AS DOUBLE) AS cos_sim
+      FROM cand c
+      JOIN e q ON q.vec_id = c.query_id
+      JOIN e n ON n.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_K}
+    """
+
+
 @register(
     "sim_ann_lsh",
-    oracle=None,  # approximate by construction; recall vs brute force checked in tests
+    oracle=_sim_ann_lsh_oracle(),
     description=f"ANN top-{TOP_K} via multi-table LSH ({N_TABLES}x{N_PLANES} hyperplanes), "
-    "Hamming-1 multi-probe + exact rerank",
+    "Hamming-1 multi-probe + exact rerank; oracle replicates the full "
+    "pipeline (no recall assumption)",
     tags=("similarity", "lsh", "ann", "extension"),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str, multiprobe: bool = True) -> DataFrame:
