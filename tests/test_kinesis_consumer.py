@@ -439,3 +439,51 @@ def test_spark_source_multishard_fifo(spark, tmp_path, reader_mode):
         ]
         assert seqs == sorted(seqs)
     assert out.select("shard_id").distinct().count() == 4
+
+
+def test_partitioned_reader_picks_up_new_shard(spark, tmp_path):
+    """Resharding: latestOffset re-enumerates shards every batch, so a shard
+    added between drains enters at the initial position ("" start) and its
+    records are delivered by the next batch — no restart required."""
+    kinesis_source.register(spark)
+    statedir = str(tmp_path / "rb")
+    client = kinesis_sim.FakeKinesisClient(statedir)
+    client.create_stream(StreamName="s", ShardCount=2)
+    for i in range(10):
+        payload = wire.encode_message({"external_id": f"a{i}"})
+        client.put_records(StreamName="s", Records=[{"PartitionKey": f"pk{i}", "Data": payload}])
+    ckpt, out_dir = str(tmp_path / "ckr"), str(tmp_path / "outr")
+
+    def drain():
+        q = (
+            _reader(spark, statedir, "partitioned", str(tmp_path / "metar"))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    assert drain().count() == 10
+
+    # reshard: a third shard appears (split); new records land on it
+    streams = client._streams()
+    streams["s"].append("2")
+    client._store(client._streams_path(), streams)
+    payload = wire.encode_message({"external_id": "on-new-shard"})
+    with open(client._shard_path("s", "2"), "a") as f:
+        import base64 as b64, json as js
+
+        f.write(js.dumps({
+            "seq": kinesis_sim.format_sequence(0),
+            "partition_key": "pk-new",
+            "data": b64.b64encode(payload).decode(),
+            "arrival_ms": int(client.clock() * 1000),
+        }) + "\n")
+
+    out = drain()
+    assert out.count() == 11
+    row = out.filter(out.external_id == "on-new-shard").collect()
+    assert len(row) == 1 and row[0]["shard_id"] == "2"
