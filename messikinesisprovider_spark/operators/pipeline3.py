@@ -295,8 +295,10 @@ _H60_SPACE = float(1 << 60)
     "sketch_kmv_distinct",
     oracle=f"""
     WITH h AS (
+      -- user_id IS NOT NULL on both sides: a NULL hash would sort
+      -- differently between engines (Spark NULLS FIRST vs DuckDB NULLS LAST)
       SELECT DISTINCT event_type, {h60_duck('CAST(user_id AS VARCHAR)')} AS hv
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     ranked AS (
       SELECT event_type, hv,
@@ -330,10 +332,14 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     ev = events_tbl(spark, sf_dir)
-    h = ev.select(
-        "event_type",
-        F.expr(h60_spark("CAST(user_id AS STRING)")).alias("hv"),
-    ).dropDuplicates(["event_type", "hv"])
+    h = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.expr(h60_spark("CAST(user_id AS STRING)")).alias("hv"),
+        )
+        .dropDuplicates(["event_type", "hv"])
+    )
     w = W.partitionBy("event_type").orderBy("hv")
     ranked = h.select(
         "event_type",
