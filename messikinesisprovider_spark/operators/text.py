@@ -258,11 +258,63 @@ def winnowing_fingerprints(d: DataFrame) -> DataFrame:
     return spread(d).select("doc_id", fp_udf("text").alias("fps"))
 
 
+# Exact DuckDB oracle for winnowing: the rolling Karp-Rabin hash equals the
+# direct polynomial sum over each k-gram (coefficients b^(k-1-j) mod m as
+# literals, HUGEINT products, one mod), and rightmost-min window selection
+# is an argmin on the key h*65536 - p (min h wins, ties to the largest p;
+# gram positions stay far below 65536). Selected indices repeat only in
+# consecutive windows, so DISTINCT reproduces the reference's consecutive
+# dedupe. Verified against winnow_fingerprints_py on repeat/short/empty/
+# unicode edge cases.
+_WINNOW_COEFS = "[" + ",".join(
+    str(pow(_ROLL_BASE, WINNOW_K - 1 - j, _ROLL_MOD)) for j in range(WINNOW_K)
+) + "]"
+
+_WINNOW_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         UNNEST(range(0, GREATEST(0, length(text) - {WINNOW_K} + 1))) AS p,
+         text
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, p,
+         CAST(list_sum(list_transform(range(0, {WINNOW_K}),
+           j -> CAST(unicode(substr(text, p + j + 1, 1)) AS HUGEINT)
+                * list_extract({_WINNOW_COEFS}, j + 1))) % {_ROLL_MOD} AS BIGINT) AS h
+  FROM grams
+),
+nk AS (SELECT doc_id, COUNT(*) AS n_k FROM hashed GROUP BY doc_id),
+wins AS (
+  SELECT s.doc_id, s.p AS s,
+         MIN(CAST(g.h AS HUGEINT) * 65536 - g.p) AS kmin
+  FROM hashed s
+  JOIN nk ON nk.doc_id = s.doc_id
+  JOIN hashed g ON g.doc_id = s.doc_id AND g.p BETWEEN s.p AND s.p + {WINNOW_W - 1}
+  WHERE s.p <= GREATEST(0, nk.n_k - {WINNOW_W})
+  GROUP BY s.doc_id, s.p
+),
+sel AS (
+  SELECT DISTINCT doc_id,
+         CAST((kmin + 65535) // 65536 AS BIGINT) AS h,
+         CAST(CAST((kmin + 65535) // 65536 AS HUGEINT) * 65536 - kmin AS BIGINT) AS idx
+  FROM wins
+)
+SELECT d.doc_id,
+       CAST(COUNT(sel.idx) AS INT) AS n_fingerprints,
+       CAST(COUNT(DISTINCT sel.h) AS INT) AS n_distinct_fingerprints,
+       MIN(sel.h) AS min_fp
+FROM documents d LEFT JOIN sel ON sel.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 @register(
     "text_winnowing",
-    oracle=None,  # rolling hash has no SQL-portable twin; checked against the
-    # pure-Python reference and for plagiarism-pair semantics in tests
-    description=f"Winnowing fingerprints (k={WINNOW_K} char-grams, w={WINNOW_W}): per-doc count + selectivity",
+    oracle=_WINNOW_ORACLE,
+    description=f"Winnowing fingerprints (k={WINNOW_K} char-grams, w={WINNOW_W}): "
+    "per-doc count + selectivity; oracle replicates the rolling hash and "
+    "rightmost-min windowing exactly",
     tags=("text", "fingerprint", "winnowing", "extension"),
 )
 def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
