@@ -33,7 +33,9 @@ batch-idempotent sink). `commit` garbage-collects old generations.
 Caveats (documented, inherent to executor-reported offsets): a speculative
 task attempt that out-read the committed attempt can advance the sidecar
 past the committed output (max-wins); the sidecar needs a filesystem all
-tasks and the driver share (local[n], NFS, or fuse-mounted object store).
+tasks and the driver share (local[n], NFS, or fuse-mounted object store);
+and the metadatadir is offset state — pair it 1:1 with one query's
+checkpointLocation, never reused or shared.
 
 Reader selection: ``format("kinesismessi")`` uses this reader when
 `metadatadir` is set (or `option("reader", "partitioned")` is explicit);
@@ -184,6 +186,10 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
                 "...) — a directory shared by driver and executors where tasks "
                 "report consumed sequences; or use option('reader', 'simple')"
             )
+        # The sidecar is offset state: it must pair 1:1 with ONE query's
+        # checkpointLocation. Reusing a metadatadir with a fresh checkpoint
+        # (or sharing it between two queries) folds another run's consumed
+        # sequences into latestOffset and skips their data.
         self.metadatadir = self.options["metadatadir"]
         self._client = None
 
