@@ -84,5 +84,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import sampling3  # noqa: F401  (round 3, appended)
     from .streaming import verified3 as _verified3  # noqa: F401  (round 3, appended)
     from .operators import pipeline3  # noqa: F401  (round 3, appended)
+    from .operators import retrieval3  # noqa: F401  (round 3, appended)
+    from .operators import relational5  # noqa: F401  (round 3, appended)
 
     return dict(_REGISTRY)

@@ -1,0 +1,242 @@
+"""Semantic tests for the round-3c operators (retrieval3.py, relational5.py).
+
+The DuckDB parity harness verifies cross-engine value equality; these pin
+the semantics and the scale-relevant plan shapes: BM25 ordering and overflow
+bounds, winnowing containment detection, binned-range-join equivalence with
+the naive theta join (and absence of BroadcastNestedLoopJoin), merge_asof
+'nearest' tie rules, and PageRank against a single-node fixed-point
+reference.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from messikinesisprovider_spark.operators import relational5, retrieval3
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_topk_is_sorted_and_bounded(spark):
+    rows = retrieval3.bm25_topk(spark, SF).collect()
+    assert 0 < len(rows) <= retrieval3.BM25_TOPK
+    keys = [(-r["score_scaled"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    assert all(r["score_scaled"] > 0 for r in rows)
+
+
+def test_bm25_score_increases_with_tf(spark, tmp_path):
+    # Same length docs; doc 2 repeats a query term more often -> higher score.
+    filler = "pad"
+    t1 = " ".join(["spark"] + [filler] * 9)
+    t2 = " ".join(["spark"] * 3 + [filler] * 7)
+    spark.createDataFrame(
+        [(1, t1, "en", "a", len(t1)), (2, t2, "en", "a", len(t2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r["score_scaled"] for r in retrieval3.bm25_topk(spark, str(tmp_path)).collect()}
+    assert got[2] > got[1] > 0
+
+
+def test_bm25_integer_intermediates_fit_in_int64():
+    # Worst case inside the documented operating envelope (retrieval3.py):
+    # per-term tf*avgdl <= 4e8 token² and corpus N <= 4e9 docs, df >= 1.
+    tf = 400_000
+    dl = 10**6
+    avgdl_m = 10**6  # 1k-token average doc, milli-token scale
+    n_docs = 4 * 10**9
+    assert 22 * tf * avgdl_m * 10**6 < 2**63
+    tf_part = (22 * tf * avgdl_m * 10**6) // (10 * tf * avgdl_m + 3 * avgdl_m + 9000 * dl)
+    idf = ((2 * (n_docs - 1) + 1) * 10**3) // 3
+    assert idf * tf_part < 2**63
+
+
+# ---------------------------------------------------------------------------
+# Winnowing overlap
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_overlap_detects_shared_substring(spark, tmp_path):
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    a = "unique prefix alpha " + shared
+    b = shared + " totally different suffix omega"
+    c = "no overlap here at all zebra xylophone quartz jelly"
+    spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b)), (3, c, "en", "s", len(c))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in retrieval3.dedup_winnowing_overlap(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["n_shared"] >= 1
+    assert 0.0 < r["jaccard"] <= 1.0
+    assert not any(3 in k for k in pairs)
+
+
+def test_winnowing_overlap_jaccard_consistent(spark):
+    for r in retrieval3.dedup_winnowing_overlap(spark, SF).collect():
+        assert r["jaccard"] >= retrieval3.WINNOW_JACCARD_T
+        assert r["doc_a"] < r["doc_b"]
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality scorer
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_linear_covers_all_docs_and_short_docs_score_zero(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, "one", "en", "s", 3), (2, "", "en", "s", 0), (3, "two words", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {r["doc_id"]: r for r in retrieval3.quality_hashed_linear(spark, str(tmp_path)).collect()}
+    assert set(rows) == {1, 2, 3}
+    # docs with < 2 tokens have no bigram features -> score 0, dropped
+    assert rows[1]["score"] == 0 and rows[1]["keep"] is False
+    assert rows[2]["score"] == 0
+    assert rows[3]["keep"] == (rows[3]["score"] > 0)
+
+
+# ---------------------------------------------------------------------------
+# Binned range join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_binned_matches_naive_theta_join(spark):
+    got = {
+        r["o_orderkey"]: r["n_prior_week"]
+        for r in relational5.range_join_binned(spark, SF).collect()
+    }
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d"), "o_orderpriority"
+    )
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").alias("a")
+    b = o.alias("b")
+    naive = {
+        r["o_orderkey"]: r["n"]
+        for r in a.join(
+            b,
+            (F.col("b.d") >= F.expr("a.d - INTERVAL 7 DAYS")) & (F.col("b.d") < F.col("a.d")),
+            "left",
+        )
+        .groupBy(F.col("a.o_orderkey").alias("o_orderkey"))
+        .agg(F.count("b.o_orderkey").alias("n"))
+        .collect()
+    }
+    assert got == naive
+    assert any(v > 0 for v in got.values())
+
+
+def test_range_join_binned_avoids_nested_loop_join(spark):
+    plan = relational5.range_join_binned(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join
+# ---------------------------------------------------------------------------
+
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+
+def test_asof_nearest_picks_nearer_side_and_respects_tolerance(spark, tmp_path):
+    t = lambda s: datetime.datetime(2024, 1, 1, 12, 0, s)  # noqa: E731
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: click 10s before and 3s after the error -> next wins
+            (1, t(0), 1, "click", 0.0, "{}"),
+            (2, t(10), 1, "error", 0.0, "{}"),
+            (3, t(13), 1, "click", 0.0, "{}"),
+            # user 2: only click is 400s after -> outside ±300s tolerance
+            (4, t(0), 2, "error", 0.0, "{}"),
+            (5, datetime.datetime(2024, 1, 1, 12, 6, 40), 2, "click", 0.0, "{}"),
+            # user 3: equidistant clicks (5s both sides) -> earlier wins
+            (6, t(0), 3, "click", 0.0, "{}"),
+            (7, t(5), 3, "error", 0.0, "{}"),
+            (8, t(10), 3, "click", 0.0, "{}"),
+        ],
+    )
+    got = {r["event_id"]: r for r in relational5.asof_join_nearest(spark, str(tmp_path)).collect()}
+    assert got[2]["click_ts"] == t(13) and got[2]["delta_us"] == 3_000_000
+    assert got[4]["click_ts"] is None and got[4]["delta_us"] is None
+    assert got[7]["click_ts"] == t(0) and got[7]["delta_us"] == 5_000_000
+
+
+def test_asof_nearest_click_at_same_instant_counts_as_previous(spark, tmp_path):
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    _write_events(
+        spark,
+        tmp_path,
+        [(1, t0, 1, "click", 0.0, "{}"), (2, t0, 1, "error", 0.0, "{}")],
+    )
+    got = relational5.asof_join_nearest(spark, str(tmp_path)).collect()[0]
+    assert got["click_ts"] == t0 and got["delta_us"] == 0
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_py(edges, iters=relational5._PR_ITERS, scale=relational5._PR_SCALE):
+    """Single-node fixed-point reference with identical integer arithmetic."""
+    und = set()
+    for s, d in edges:
+        und.add((s, d))
+        und.add((d, s))
+    deg = {}
+    for s, _ in und:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {n: scale for n in deg}
+    for _ in range(iters):
+        insum = {n: 0 for n in deg}
+        for s, d in und:
+            insum[d] += pr[s] // deg[s]
+        pr = {n: 15 * scale // 100 + (17 * insum[n]) // 20 for n in deg}
+    return pr
+
+
+def test_pagerank_matches_python_reference_on_tiny_graph(spark, tmp_path):
+    # customers 0,1 ; suppliers 0,1,2 -> orders/lineitem fixture
+    orders = [(100, 0), (101, 0), (102, 1)]
+    lineitem = [(100, 0), (100, 1), (101, 1), (102, 2)]
+    spark.createDataFrame(
+        [(ok, ck, datetime.datetime(1995, 1, 1), "1-URGENT") for ok, ck in orders],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(ok, sk) for ok, sk in lineitem], "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r["node_id"]: r["rank_scaled"]
+        for r in relational5.graph_pagerank(spark, str(tmp_path)).collect()
+    }
+    bip_edges = {(2 * ck, 2 * sk + 1) for (ok1, ck) in orders for (ok2, sk) in lineitem if ok1 == ok2}
+    want = _pagerank_py(bip_edges)
+    assert got == want
+    # customer 0 (node 0) touches two distinct suppliers -> degree 2, the
+    # highest centrality in this fixture
+    assert max(got, key=lambda n: (got[n], -n)) == 0
+
+
+def test_pagerank_deterministic_across_runs(spark):
+    a = relational5.graph_pagerank(spark, SF).collect()
+    b = relational5.graph_pagerank(spark, SF).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == relational5._PR_TOPK
