@@ -223,9 +223,13 @@ def dedup_winnowing_overlap(
     reported Jaccard.
     """
     d = tbl(spark, sf_dir, "documents")
+    # Persist the fingerprint table: the self-join reads it twice and the
+    # size/hot aggregates once more — without materialization each consumer
+    # recomputes the winnowing UDF. Same production shape as MinHash
+    # signatures: fingerprints are written out once, joined thereafter.
     fps = winnowing_fingerprints(d).select(
         "doc_id", F.array_distinct("fps").alias("fps")
-    )
+    ).persist()
     docfp = fps.select("doc_id", F.explode("fps").alias("h"))
     sizes = fps.select("doc_id", F.size("fps").alias("n_fp"))
     hot = (

@@ -244,6 +244,128 @@ def winnow_fingerprints_py(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> l
     return fps
 
 
+_M61 = (1 << 61) - 1
+
+
+def _mulmod61(a, c):
+    """(a * c) mod (2^61 - 1), vectorized and overflow-safe in int64.
+
+    Requires a < 2^61 (scalar or array) and c < 2^21 (codepoints / small
+    bases). Splits a into 32-bit halves and folds the high product with the
+    Mersenne identity 2^61 ≡ 1 (mod 2^61 - 1); every intermediate stays
+    below 2^62, so SIGNED int64 is safe — and on this numpy build int64
+    elementwise ops are ~13x faster than uint64 (which falls off the SIMD
+    path), measured 0.27s vs 3.4s per 100M multiplies.
+    """
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.int64)
+    c = np.asarray(c, dtype=np.int64)
+    hi = (a >> 32) * c          # < 2^50
+    lo = (a & 0xFFFFFFFF) * c   # < 2^53
+    r = ((hi & ((1 << 29) - 1)) << 32) + (hi >> 29) + lo  # < 2^62
+    r = (r & _M61) + (r >> 61)
+    return np.where(r >= _M61, r - _M61, r)
+
+
+def _winnow_batch(texts, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Vectorized winnowing over a batch of strings; bit-identical to
+    winnow_fingerprints_py (same k-gram polynomial hash mod 2^61-1, same
+    rightmost-min window selection and consecutive-index dedup), but all
+    per-character work is numpy over the flattened batch — no Python loop
+    over positions. ~20x over the per-char reference on real batches.
+    """
+    import numpy as np
+
+    texts = ["" if t is None else t for t in texts]
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    n_k = np.maximum(lens - (k - 1), 0)  # k-grams per doc
+    if int(n_k.sum()) == 0:
+        return [[] for _ in texts]
+
+    # Flat codepoint array with doc offsets; utf-32-le decode yields
+    # codepoints directly. int64 throughout, contiguous slices only, and
+    # scratch buffers reused in place — strided access and fresh 25 MB
+    # allocations are both an order of magnitude slower than the arithmetic
+    # on the shared box this runs on.
+    flat = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    doc_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+
+    # Polynomial hash at EVERY flat position (h(p) = sum_j coef[j]*cp[p+j]
+    # mod m) over contiguous slices; positions straddling a doc boundary
+    # produce garbage that is never selected below. One pass, no gathers.
+    n_pos = len(flat) - (k - 1)
+    coefs = [pow(_ROLL_BASE, k - 1 - j, _ROLL_MOD) for j in range(k)]
+    h_all = np.zeros(n_pos, dtype=np.int64)
+    t1 = np.empty(n_pos, dtype=np.int64)
+    t2 = np.empty(n_pos, dtype=np.int64)
+    for j, cf in enumerate(coefs):
+        c = flat[j : j + n_pos]
+        np.multiply(c, cf >> 32, out=t1)            # < 2^50
+        np.bitwise_and(t1, (1 << 29) - 1, out=t2)
+        np.left_shift(t2, 32, out=t2)               # < 2^61
+        np.right_shift(t1, 29, out=t1)
+        t2 += t1
+        np.multiply(c, cf & 0xFFFFFFFF, out=t1)     # < 2^53
+        t2 += t1                                    # < 2^62: (cf * c) pre-fold
+        np.bitwise_and(t2, _M61, out=t1)
+        np.right_shift(t2, 61, out=t2)
+        t1 += t2                                    # (cf * c) mod-folded, < ~2^61
+        h_all += t1                                 # < 2^62
+        np.bitwise_and(h_all, _M61, out=t1)
+        np.right_shift(h_all, 61, out=h_all)
+        h_all += t1
+    h_all -= np.int64(_M61) * (h_all >= _M61)
+
+    # Winnow: pad each doc's hash run with w-1 sentinels (> any hash) so
+    # windows never cross docs; window starts replicate the reference's
+    # range(0, max(1, n_k - w + 1)).
+    pad = w - 1
+    n_starts = np.where(n_k > 0, np.maximum(n_k - (w - 1), 1), 0)
+    padded_len = n_k + pad
+    padded_start = np.concatenate(([0], np.cumsum(padded_len)[:-1]))
+    padded = np.full(int(padded_len.sum()) + pad, np.int64(1) << 62, dtype=np.int64)
+    gram_doc = np.repeat(np.arange(len(texts)), n_k)
+    within = np.arange(int(n_k.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_k)[:-1])), n_k
+    )
+    padded[padded_start[gram_doc] + within] = h_all[doc_start[gram_doc] + within]
+
+    # Rightmost-min per window via w shifted CONTIGUOUS slices of `padded`
+    # (sliding_window_view + axis argmin is 50x slower here: the fancy-index
+    # materialization and the negative-stride reduction both fall off the
+    # fast path).
+    n_win = len(padded) - (w - 1)
+    m = padded[w - 1 : w - 1 + n_win].copy()
+    off = np.full(n_win, w - 1, dtype=np.int64)
+    for j in range(w - 2, -1, -1):
+        cand = padded[j : j + n_win]
+        better = cand < m
+        np.copyto(m, cand, where=better)
+        off[better] = j
+
+    start_doc = np.repeat(np.arange(len(texts)), n_starts)
+    start_within = np.arange(int(n_starts.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_starts)[:-1])), n_starts
+    )
+    starts = padded_start[start_doc] + start_within
+    sel_off = off[starts]
+    sel_idx = start_within + sel_off  # doc-local selected gram index
+
+    # consecutive-duplicate drop (ref: `if idx != last`): within a doc the
+    # selected index is non-decreasing, so a boundary-aware diff suffices.
+    first_of_doc = np.concatenate(([True], start_doc[1:] != start_doc[:-1]))
+    keep = first_of_doc | np.concatenate(([True], sel_idx[1:] != sel_idx[:-1]))
+    kept_doc = start_doc[keep]
+    kept_h = padded[starts + sel_off][keep]
+
+    counts = np.bincount(kept_doc, minlength=len(texts))
+    splits = np.split(kept_h, np.cumsum(counts)[:-1])
+    return [s.tolist() for s in splits]
+
+
 def winnowing_fingerprints(d: DataFrame) -> DataFrame:
     """doc_id, fps: array<bigint> — Arrow-vectorized winnowing."""
     from pyspark.sql.functions import pandas_udf
@@ -251,7 +373,7 @@ def winnowing_fingerprints(d: DataFrame) -> DataFrame:
 
     @pandas_udf(ArrayType(LongType()))
     def fp_udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: winnow_fingerprints_py(t or ""))
+        return pd.Series(_winnow_batch(texts.tolist()))
 
     from .relational import spread
 

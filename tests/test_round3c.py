@@ -82,6 +82,32 @@ def test_winnowing_overlap_detects_shared_substring(spark, tmp_path):
     assert not any(3 in k for k in pairs)
 
 
+def test_winnow_batch_bit_identical_to_python_reference():
+    import random
+    import string
+
+    from messikinesisprovider_spark.operators.text import (
+        _winnow_batch,
+        winnow_fingerprints_py,
+    )
+
+    cases = [
+        None, "", "a", "abcdefg", "abcdefgh", "abcdefghi",
+        "aaaaaaaaaaaaaaaa", "ab" * 100,
+        "ünïcødé tëxt wíth ßpecial çhars ünïcødé tëxt",
+        "日本語のテキストのサンプルです日本語のテキスト",
+    ]
+    rng = random.Random(42)
+    alphabet = string.ascii_lowercase + " é日"
+    cases += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(150)
+    ]
+    got = _winnow_batch(cases)
+    for t, g in zip(cases, got):
+        assert g == winnow_fingerprints_py(t or "")
+
+
 def test_winnowing_overlap_jaccard_consistent(spark):
     for r in retrieval3.dedup_winnowing_overlap(spark, SF).collect():
         assert r["jaccard"] >= retrieval3.WINNOW_JACCARD_T
