@@ -76,6 +76,13 @@ HEADLINE = [
     "window_rank_dense_ntile",
     "sample_stratified_hash",
     "split_train_val_test",
+    # round 3c: retrieval scoring (inverted-index shape), substring-level
+    # winnowing dedup, feature-hashed model scoring, and the binned
+    # keyless range join.
+    "bm25_topk",
+    "dedup_winnowing_overlap",
+    "quality_hashed_linear",
+    "range_join_binned",
 ]
 
 

@@ -40,6 +40,11 @@ QUERIES = [
     "percent_rank_cume",
     "sample_stratified_hash",
     "split_train_val_test",
+    # round 3c
+    "bm25_topk",
+    "dedup_winnowing_overlap",
+    "range_join_binned",
+    "graph_pagerank",
 ]
 
 
