@@ -83,6 +83,7 @@ HEADLINE = [
     "dedup_winnowing_overlap",
     "quality_hashed_linear",
     "range_join_binned",
+    "bpe_merge_step",
 ]
 
 

@@ -261,6 +261,64 @@ def test_pagerank_matches_python_reference_on_tiny_graph(spark, tmp_path):
     assert max(got, key=lambda n: (got[n], -n)) == 0
 
 
+def test_mulmod61_matches_python_bigints():
+    import random
+
+    import numpy as np
+
+    from messikinesisprovider_spark.operators.text import _M61, _mulmod61
+
+    rng = random.Random(2024)
+    a = np.array(
+        [0, 1, _M61 - 1, (1 << 61) - 1] + [rng.randrange(1 << 61) for _ in range(5000)],
+        dtype=np.int64,
+    )
+    c = np.array(
+        [0, 1, (1 << 21) - 1, 257] + [rng.randrange(1 << 21) for _ in range(5000)],
+        dtype=np.int64,
+    )
+    got = _mulmod61(a, c)
+    want = (a.astype(object) * c.astype(object)) % _M61
+    assert (got.astype(object) == want).all()
+
+
+# ---------------------------------------------------------------------------
+# BPE merge step
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merge_step_greedy_run_semantics(spark, tmp_path):
+    from messikinesisprovider_spark.operators import tokenizer3
+
+    # 'a a' is the most frequent pair; doc 1 has a run of 5 a's -> greedy
+    # left-to-right merges floor(5/2) = 2; doc 2 has 2 isolated matches.
+    docs = [
+        (1, "a a a a a", "en", "s", 9),
+        (2, "a a x a a", "en", "s", 9),
+        (3, "x y z", "en", "s", 5),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["doc_id"]: r for r in tokenizer3.bpe_merge_step(spark, str(tmp_path)).collect()}
+    assert got[1]["pair_a"] == "a" and got[1]["pair_b"] == "a"
+    assert got[1]["n_tokens"] == 5 and got[1]["n_merges"] == 2 and got[1]["n_tokens_after"] == 3
+    assert got[2]["n_merges"] == 2 and got[2]["n_tokens_after"] == 3
+    assert got[3]["n_merges"] == 0 and got[3]["n_tokens_after"] == 3
+
+
+def test_bpe_merge_step_winner_deterministic_on_ties(spark, tmp_path):
+    from messikinesisprovider_spark.operators import tokenizer3
+
+    # both pairs appear once; lexicographic tiebreak picks ('a','b')
+    spark.createDataFrame(
+        [(1, "b c", "en", "s", 3), (2, "a b", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = tokenizer3.bpe_merge_step(spark, str(tmp_path)).collect()[0]
+    assert (r["pair_a"], r["pair_b"]) == ("a", "b")
+
+
 def test_pagerank_deterministic_across_runs(spark):
     a = relational5.graph_pagerank(spark, SF).collect()
     b = relational5.graph_pagerank(spark, SF).collect()
