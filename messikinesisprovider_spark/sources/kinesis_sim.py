@@ -163,6 +163,26 @@ class FakeKinesisClient:
         except OSError:
             return []
 
+    def _shard_count(self, stream: str, shard_id: str) -> int:
+        """Record count of a shard in O(1) via a size-validated sidecar.
+
+        put_records only needs the count (for the next sequence number), and
+        re-parsing the whole JSONL per call made publishing O(n²). The
+        sidecar caches (count, file_size); any out-of-band append (tests
+        write shard files directly to simulate resharding) changes the file
+        size and forces a recount, so the cache can never go silently stale.
+        """
+        path = self._shard_path(stream, shard_id)
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return 0
+        meta = self._load(path + ".count", None)
+        if isinstance(meta, dict) and meta.get("size") == size:
+            return int(meta["count"])
+        with open(path) as f:
+            return sum(1 for line in f if line.strip())
+
     def put_records(self, StreamName: str, Records: list[dict]) -> dict:
         streams = self._streams()
         if StreamName not in streams:
@@ -171,7 +191,7 @@ class FakeKinesisClient:
         now_ms = int(self.clock() * 1000)
         results = []
         appends: dict[str, list[dict]] = {}
-        counts = {sid: len(self._read_shard(StreamName, sid)) for sid in shards}
+        counts = {sid: self._shard_count(StreamName, sid) for sid in shards}
         for rec in Records:
             data = rec["Data"]
             if isinstance(data, str):
@@ -189,8 +209,10 @@ class FakeKinesisClient:
             )
             results.append({"ShardId": sid, "SequenceNumber": seq})
         for sid, rows in appends.items():
-            with open(self._shard_path(StreamName, sid), "a") as f:
+            path = self._shard_path(StreamName, sid)
+            with open(path, "a") as f:
                 f.write("".join(json.dumps(r) + "\n" for r in rows))
+            self._store(path + ".count", {"count": counts[sid], "size": os.path.getsize(path)})
         return {"FailedRecordCount": 0, "Records": results}
 
     def get_shard_iterator(
