@@ -87,5 +87,6 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import retrieval3  # noqa: F401  (round 3, appended)
     from .operators import relational5  # noqa: F401  (round 3, appended)
     from .operators import tokenizer3  # noqa: F401  (round 3, appended)
+    from .operators import sketches3  # noqa: F401  (round 3, appended)
 
     return dict(_REGISTRY)

@@ -215,6 +215,41 @@ def test_asof_nearest_click_at_same_instant_counts_as_previous(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# KMV set operations
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_setops_exact_when_pool_fits_in_k(spark, tmp_path):
+    from messikinesisprovider_spark.operators import sketches3
+
+    # clickers = {1..20}, purchasers = {11..25}: union 25, intersection 10 —
+    # well under k=64, so the sketch path must degenerate to exact values.
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(i, t0, u, "click", 0.0, "{}") for i, u in enumerate(range(1, 21))]
+    rows += [(100 + i, t0, u, "purchase", 0.0, "{}") for i, u in enumerate(range(11, 26))]
+    rows += [(900, t0, 999, "error", 0.0, "{}")]  # other types excluded
+    _write_events(spark, tmp_path, rows)
+    r = sketches3.sketch_kmv_setops(spark, str(tmp_path)).collect()[0]
+    assert r["n_exact_a"] == 20 and r["n_exact_b"] == 15
+    assert r["n_exact_union"] == 25 and r["n_exact_intersection"] == 10
+    assert r["est_union"] == 25.0 and r["est_intersection"] == 10.0
+
+
+def test_kmv_setops_estimates_reasonable_on_corpus(spark):
+    from messikinesisprovider_spark.operators import sketches3
+
+    r = sketches3.sketch_kmv_setops(spark, SF).collect()[0]
+    assert r["kprime"] <= r["k"]
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 13% at k=64; allow 4 sigma plus the
+    # intersection's extra rho noise.
+    assert abs(r["est_union"] - r["n_exact_union"]) <= max(0.5 * r["n_exact_union"], 8)
+    assert (
+        abs(r["est_intersection"] - r["n_exact_intersection"])
+        <= max(0.6 * r["n_exact_union"], 8)
+    )
+
+
+# ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
 
