@@ -88,5 +88,6 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import relational5  # noqa: F401  (round 3, appended)
     from .operators import tokenizer3  # noqa: F401  (round 3, appended)
     from .operators import sketches3  # noqa: F401  (round 3, appended)
+    from .operators import similarity3  # noqa: F401  (round 3, appended)
 
     return dict(_REGISTRY)

@@ -250,6 +250,34 @@ def test_kmv_setops_estimates_reasonable_on_corpus(spark):
 
 
 # ---------------------------------------------------------------------------
+# Hash-seeded IVF
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_hashseed_agrees_with_bruteforce_above_random_baseline(spark):
+    from messikinesisprovider_spark.operators import similarity, similarity3
+
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.sim_topk_bruteforce(spark, SF).collect()
+    }
+    iv_rows = similarity3.sim_ann_ivf_hashseed(spark, SF).collect()
+    iv = {(r["query_id"], r["neighbor_id"]) for r in iv_rows}
+    # probing N_PROBE/N_IVF_CELLS ≈ 19% of an isotropic corpus at random
+    # would recall ~0.19; the cell geometry must do materially better
+    # (measured 0.45 on this corpus).
+    recall = len(bf & iv) / len(bf)
+    assert recall >= 0.30
+    # full result shape: every query answered with a dense top-k ranking
+    by_q = {}
+    for r in iv_rows:
+        by_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert set(by_q) == set(range(similarity.N_QUERIES))
+    for rnks in by_q.values():
+        assert sorted(rnks) == list(range(1, similarity.TOP_K + 1))
+
+
+# ---------------------------------------------------------------------------
 # PageRank
 # ---------------------------------------------------------------------------
 
