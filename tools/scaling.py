@@ -45,6 +45,9 @@ QUERIES = [
     "dedup_winnowing_overlap",
     "range_join_binned",
     "graph_pagerank",
+    "bpe_merge_step",
+    "sketch_kmv_setops",
+    "sim_ann_ivf_hashseed",
 ]
 
 
