@@ -382,7 +382,7 @@ def source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
       SELECT vec_id, amax,
-             list_transform(e, x -> floor(x * (127.0 / amax) + 0.5)) AS qv,
+             list_transform(e, x -> floor(x * (CASE WHEN amax = 0 THEN 0.0 ELSE 127.0 / amax END) + 0.5)) AS qv,
              e
       FROM v
     )
@@ -424,7 +424,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "amax",
         "e",
-        F.expr("transform(e, x -> floor(x * (127.0 / amax) + 0.5))").alias("qv"),
+        F.expr("transform(e, x -> floor(x * (CASE WHEN amax = 0D THEN 0D ELSE 127.0 / amax END) + 0.5))").alias("qv"),
     )
     mse = F.expr(
         "aggregate(zip_with(e, qv, (x, qx) -> "

@@ -436,7 +436,10 @@ def simhash_bits(d: DataFrame) -> DataFrame:
         sums = np.add.reduceat(bits01, starts, axis=0)
         return pd.Series(_pack(sums))
 
-    hashed = spread(d).select(
+    # text IS NOT NULL mirrors the oracle's UNNEST(str_split(text, ' ')),
+    # which emits no rows for NULL text — NULL-text docs have no signature
+    # in either engine (and split(NULL) would hand the UDF a None).
+    hashed = spread(d.filter(F.col("text").isNotNull())).select(
         "doc_id", F.expr(f"transform(split(text, ' '), t -> {h60_spark('t')})").alias("th")
     )
     return hashed.select("doc_id", sim_udf("th").alias("sim"))
@@ -528,11 +531,13 @@ DEDUP_COSINE_MAX_ROWS = 200_000
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (
+    WITH e0 AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
       FROM embeddings
-    )
+    ),
+    -- zero-norm vectors have no defined cosine; excluded in BOTH engines
+    e AS (SELECT * FROM e0 WHERE nrm > 0)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST(ROUND(list_sum(list_transform(range(1, 65),
                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS DOUBLE) AS cos_sim
@@ -563,7 +568,7 @@ def dedup_embedding_cosine(
         F.expr(
             "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
         ).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)  # cosine undefined for zero-norm vectors
     a = withn.alias("a")
     b = withn.alias("b")
     # zip_with references each vector ONCE (an indexed fold would re-inline

@@ -41,6 +41,9 @@ def hashed_text_embeddings(d: DataFrame, dim: int = EMBED_DIM, normalize: bool =
     def embed(token_hashes: pd.Series) -> pd.Series:
         out = []
         for hs in token_hashes:
+            if hs is None:  # NULL text -> zero vector (no token contributions)
+                out.append(np.zeros(dim))
+                continue
             h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
             if len(h) == 0:
                 out.append(np.zeros(dim))
@@ -79,11 +82,14 @@ pooled AS (
   FROM contrib GROUP BY source, bucket
 ),
 nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
-SELECT p.source, ANY_VALUE(nd.n_docs) AS n_docs,
-       CAST(SUM(ABS(p.x)) AS BIGINT) AS l1_norm,
-       CAST(SUM(p.x * p.x) AS BIGINT) AS sum_sq
-FROM pooled p JOIN nd ON nd.source = p.source
-GROUP BY p.source
+-- driven from nd with a null-safe LEFT JOIN: a source whose docs have no
+-- tokens (all-NULL text) pools to the zero vector, and NULL source is a
+-- real group in both engines
+SELECT nd.source, ANY_VALUE(nd.n_docs) AS n_docs,
+       CAST(COALESCE(SUM(ABS(p.x)), 0) AS BIGINT) AS l1_norm,
+       CAST(COALESCE(SUM(p.x * p.x), 0) AS BIGINT) AS sum_sq
+FROM nd LEFT JOIN pooled p ON p.source IS NOT DISTINCT FROM nd.source
+GROUP BY nd.source
 """
 
 

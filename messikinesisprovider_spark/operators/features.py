@@ -75,7 +75,7 @@ _N_BINS = 10
       SELECT event_type, value,
              NTILE({_N_BINS}) OVER (PARTITION BY event_type
                                     ORDER BY value, event_id) AS bin
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type, bin,
            COUNT(*) AS n,
@@ -100,7 +100,10 @@ def histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead (`exact_percentiles` / `approx_percentile_sketch` show both
     primitives); per-key histograms like this one scale as-is.
     """
-    ev = events_tbl(spark, sf_dir)
+    # value IS NOT NULL: NULLs sort first in Spark windows but last in
+    # DuckDB, shifting every ntile boundary — and a value histogram has no
+    # bin for NULL regardless.
+    ev = events_tbl(spark, sf_dir).filter(F.col("value").isNotNull())
     w = W.partitionBy("event_type").orderBy("value", "event_id")
     binned = ev.select(
         "event_type",

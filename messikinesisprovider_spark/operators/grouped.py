@@ -21,7 +21,8 @@ from .relational import _osum, dsum, events_tbl, tbl
 
 FEATURE_SCHEMA = T.StructType(
     [
-        T.StructField("user_id", T.LongType(), False),
+        # nullable: NULL user_id is a real group under groupBy
+        T.StructField("user_id", T.LongType(), True),
         T.StructField("n_events", T.LongType(), False),
         T.StructField("n_purchases", T.LongType(), False),
         T.StructField("mean_gap_seconds", T.DoubleType(), True),
@@ -46,7 +47,7 @@ FEATURE_SCHEMA = T.StructType(
            COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
            ANY_VALUE(g.mean_gap_seconds) AS mean_gap_seconds,
            MAX(value) AS max_value
-    FROM events e LEFT JOIN g ON g.user_id = e.user_id
+    FROM events e LEFT JOIN g ON g.user_id IS NOT DISTINCT FROM e.user_id
     GROUP BY e.user_id
     """,
     description="Grouped-map applyInPandas: per-user behavioral features (Arrow batch per key)",
@@ -57,7 +58,9 @@ def grouped_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def features(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        uid = int(pdf["user_id"].iloc[0])
+        uid0 = pdf["user_id"].iloc[0]
+        # NULL user_id is a real group under groupBy; Arrow hands it as NaN
+        uid = None if pd.isna(uid0) else int(uid0)
         # normalize to ns regardless of whether Arrow hands pandas us or ns
         ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
         gaps = np.diff(ts_ns)
@@ -69,7 +72,7 @@ def grouped_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_events": len(pdf),
                     "n_purchases": int((pdf["event_type"] == "purchase").sum()),
                     "mean_gap_seconds": mean_gap,
-                    "max_value": float(pdf["value"].max()),
+                    "max_value": None if pdf["value"].isna().all() else float(pdf["value"].max()),
                 }
             ]
         )
@@ -297,7 +300,7 @@ def dropduplicates_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
            ANY_VALUE(g.mean_gap_seconds) AS mean_gap_seconds,
            MAX(value) AS max_value
-    FROM events e LEFT JOIN g ON g.user_id = e.user_id
+    FROM events e LEFT JOIN g ON g.user_id IS NOT DISTINCT FROM e.user_id
     GROUP BY e.user_id
     """,
     description="Built-in twin of grouped_user_features: window lag + hash agg, no Python",

@@ -112,7 +112,7 @@ def decode_image_meta(images: DataFrame) -> DataFrame:
             rows = []
             for doc_id, buf in zip(pdf["doc_id"], pdf["image"]):
                 try:
-                    fmt, w, h, ch, nb = _decode_one(bytes(buf))
+                    fmt, w, h, ch, nb = _decode_one(b"" if buf is None else bytes(buf))
                     rows.append((doc_id, fmt, w, h, ch, nb, True))
                 except NotImplementedError:
                     rows.append((doc_id, None, None, None, None, None, False))
@@ -138,12 +138,15 @@ def decode_image_meta(images: DataFrame) -> DataFrame:
            MAX(1 + (('0x' || substr(md5(text), 1, 4))::INT % 2048)) AS max_width,
            MAX(1 + (('0x' || substr(md5(text), 5, 4))::INT % 2048)) AS max_height
     FROM documents
+    WHERE text IS NOT NULL
     """,
     description="Synthesize binary image column → Arrow-batched mapInPandas decode → metadata agg",
     tags=("multimodal", "mapinpandas", "extension"),
 )
 def multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(tbl(spark, sf_dir, "documents"))
+    # NULL-text docs have no media payload to synthesize — excluded in both
+    # engines (synthesizing from NULL would fabricate a decode-failure row)
+    d = spread(tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull()))
     meta = decode_image_meta(synthesize_image_column(d))
     return (
         meta.groupBy("format", "channels", "decode_ok")

@@ -73,11 +73,12 @@ def _sig_expr_duck() -> str:
 
 
 _EMBED_LSH_ORACLE = f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
   FROM embeddings
 ),
+e AS (SELECT * FROM e0 WHERE nrm > 0),
 sig AS (SELECT vec_id, v, nrm, {_sig_expr_duck()} AS sig FROM e),
 chunks AS (
   SELECT vec_id, sig, r.c, (sig >> ({_BITS_PER_CHUNK} * r.c)) & {(1 << _BITS_PER_CHUNK) - 1} AS cv
@@ -127,7 +128,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
         ).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)  # cosine undefined for zero-norm vectors
     sigs = withn.select("vec_id", F.expr(_sig_expr_spark()).alias("sig")).persist()
     chunks = sigs.select(
         "vec_id",

@@ -313,6 +313,7 @@ def text_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,6)) * (user_id % 5 + 1)) AS DOUBLE)
            / SUM(user_id % 5 + 1) AS weighted_mean_value
     FROM events
+    WHERE value IS NOT NULL AND user_id IS NOT NULL
     GROUP BY event_type
     """,
     description="Grouped-agg pandas UDAF: weighted mean with exact integer-micro "
@@ -338,12 +339,19 @@ def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which pandas_udf's hint-based inference cannot read.
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def wmean(v, w):
-        vi = np.rint(v.to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
-        wi = w.to_numpy(dtype=np.int64)
+        # drop rows where either side is NULL — matches the SQL convention
+        # (and None -> NaN -> astype(int64) is garbage, not an error)
+        mask = v.notna() & w.notna()
+        vi = np.rint(v[mask].to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
+        wi = w[mask].to_numpy(dtype=np.int64)
+        if len(wi) == 0 or wi.sum() == 0:
+            return None
         return float((vi * wi).sum() / 1e6) / float(wi.sum())
 
-    ev = events_tbl(spark, sf_dir).select(
-        "event_type", "value", (F.col("user_id") % 5 + 1).alias("w")
+    ev = (
+        events_tbl(spark, sf_dir)
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_type", "value", (F.col("user_id") % 5 + 1).alias("w"))
     )
     return ev.groupBy("event_type").agg(
         wmean("value", "w").alias("weighted_mean_value")
@@ -384,11 +392,20 @@ def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tbl(spark, sf_dir, "documents")
 
     def within(est, exact):
-        return (F.abs(est - exact) <= exact * F.lit(0.10)).alias("hll_within_tol")
+        # absolute floor of 2: a relative-only band is unsatisfiable at
+        # exact=0 and brittle for tiny groups
+        return (
+            F.abs(est - exact) <= F.greatest(F.lit(2.0), exact * F.lit(0.10))
+        ).alias("hll_within_tol")
 
     per_source = d.groupBy("source").agg(
         F.countDistinct("text").alias("n_distinct_exact"),
-        hll_sketch_agg(F.xxhash64("text").cast("string")).alias("sk"),
+        # hash only non-null texts: xxhash64(NULL) is the seed hash (not
+        # NULL), which would put a phantom item in the sketch while
+        # countDistinct skips NULLs
+        hll_sketch_agg(
+            F.when(F.col("text").isNotNull(), F.xxhash64("text").cast("string"))
+        ).alias("sk"),
     )
     per = per_source.select(
         "source",

@@ -23,10 +23,12 @@ from .relational import dsum, events_tbl, tbl, _osum
     "asof_join_last_click",
     oracle="""
     WITH errors AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'error' AND user_id IS NOT NULL
     ),
     clicks AS (
-      SELECT user_id, ts FROM events WHERE event_type = 'click'
+      SELECT user_id, ts FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL
     )
     SELECT e.event_id,
            e.user_id,
@@ -48,7 +50,11 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams, sort within user by time, carry the last click forward with
     last_value(ignoreNulls). ONE shuffle on user_id — no range-join blowup
     (the naive inequality join is O(|errors|·|clicks per user|))."""
-    ev = events_tbl(spark, sf_dir)
+    # user_id IS NOT NULL on both sides: a keyed as-of join follows SQL join
+    # semantics (NULL matches nothing) — without the filter the Spark window
+    # groups NULL users into one partition while the oracle's equi-join
+    # drops them, a cross-engine divergence.
+    ev = events_tbl(spark, sf_dir).filter(F.col("user_id").isNotNull())
     errors = ev.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts"), F.lit(1).alias("is_err")
     )

@@ -38,23 +38,27 @@ _DOT = "aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
 
 
 def _unit_vectors(e: DataFrame) -> DataFrame:
+    # nrm > 0: cosine is undefined for the zero vector (0/0 is a
+    # divide-by-zero under ANSI mode and an engine-dependent NaN otherwise);
+    # excluded identically in every oracle.
     return spread(e).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         F.expr(
             "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
         ).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)
 
 
 @register(
     "sim_topk_bruteforce",
     oracle=f"""
-    WITH e AS (
+    WITH e0 AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,
              sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
       FROM embeddings
     ),
+    e AS (SELECT * FROM e0 WHERE nrm > 0),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              CAST(ROUND(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i]))

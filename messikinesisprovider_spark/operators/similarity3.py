@@ -29,11 +29,12 @@ from .relational import tbl
 from .similarity import _DOT, N_IVF_CELLS, N_PROBE, N_QUERIES, TOP_K, _unit_vectors
 
 _IVF_SEEDED_ORACLE = f"""
-WITH e AS (
+WITH e0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
   FROM embeddings
 ),
+e AS (SELECT * FROM e0 WHERE nrm > 0),
 cent AS (
   SELECT vec_id AS cid, v AS cv FROM e
   ORDER BY {h60_duck('CAST(vec_id AS VARCHAR)')}, vec_id LIMIT {N_IVF_CELLS}

@@ -25,6 +25,24 @@ from ..registry import register
 _STAGED: dict[tuple[int, str], str] = {}
 
 
+# Kinesis requires a partition key on every record (PutRecordsRequestEntry),
+# so a producer must choose a key even for NULL user ids. The harness maps
+# NULL -> this sentinel on publish and back to NULL on read, keeping the
+# stream contract satisfied while the relational layer still sees SQL NULL
+# semantics (user ids are integers, so the sentinel cannot collide).
+_NULL_PK = "__null__"
+
+
+def pk_encode(col):
+    return F.coalesce(col.cast("string"), F.lit(_NULL_PK))
+
+
+def pk_decode(col):
+    return F.when(col == _NULL_PK, F.lit(None).cast("bigint")).otherwise(
+        col.cast("bigint")
+    )
+
+
 def _staged_events_log(spark: SparkSession, sf_dir: str) -> str:
     """Ingest events into a log directory once per session+sf."""
     key = (id(spark), sf_dir)
@@ -37,7 +55,7 @@ def _staged_events_log(spark: SparkSession, sf_dir: str) -> str:
     root = os.path.join(tempfile.mkdtemp(prefix="messilog_events_"), "log")
     log = MessiLog(spark, root, n_shards=4)
     src = events_tbl(spark, sf_dir).select(
-        F.col("user_id").cast("string").alias("partition_key"),
+        pk_encode(F.col("user_id")).alias("partition_key"),
         F.col("event_id").cast("string").alias("external_id"),
         "ts",
         F.create_map(F.lit("event_type"), F.col("event_type")).alias("attributes"),
@@ -154,7 +172,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("partition_key"), F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("partition_key").cast("bigint").alias("user_id"),
+            pk_decode(F.col("partition_key")).alias("user_id"),
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .verified import _staged_events_log
+from .verified import _NULL_PK, _staged_events_log, pk_decode
 
 
 def _drain_append(df: DataFrame, prefix: str) -> DataFrame:
@@ -79,7 +79,10 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(event_type: str, role: str) -> DataFrame:
         return (
             consume.stream_log(spark, root)
+            # NULL users carry the publish sentinel; the oracle's equi-join
+            # drops them (SQL NULL never matches), so drop them here too
             .filter(F.col("attributes")["event_type"] == event_type)
+            .filter(F.col("partition_key") != _NULL_PK)
             .select(
                 F.col("partition_key").alias(f"{role}_user"),
                 F.col("external_id").cast("bigint").alias(f"{role}_event_id"),
@@ -113,7 +116,10 @@ _TS_SCALE = 10_000_000_000
     "streaming_cdc_upsert",
     oracle=f"""
     SELECT user_id,
-           MAX_BY(event_id, CAST(epoch_us(ts) AS DECIMAL(38,0)) * {_TS_SCALE}
+           -- HUGEINT, not DECIMAL(38,0): DuckDB 1.0.0's arg_max compares DECIMAL
+           -- keys through a double (same-ts ids tie within one ulp and the
+           -- wrong row wins); the 128-bit integer key compares exactly
+           MAX_BY(event_id, CAST(epoch_us(ts) AS HUGEINT) * {_TS_SCALE}
                             + event_id) AS last_event_id,
            COUNT(*) AS n_events
     FROM events
@@ -167,17 +173,21 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     snapshot = spark.read.parquet(snap).select(
-        F.col("partition_key").cast("bigint").alias("user_id"),
+        "partition_key",
         F.col("external_id").cast("bigint").alias("last_event_id"),
     )
     counts = (
         spark.read.schema(stream.schema)
         .parquet(root)
-        .groupBy(F.col("partition_key").cast("bigint").alias("user_id"))
+        .groupBy("partition_key")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    return snapshot.join(counts, "user_id").select(
-        "user_id", "last_event_id", "n_events"
+    # join on the RAW key (the NULL sentinel matches itself where a bigint
+    # NULL would not), decode to SQL NULL only in the output
+    return snapshot.join(counts, "partition_key").select(
+        pk_decode(F.col("partition_key")).alias("user_id"),
+        "last_event_id",
+        "n_events",
     )
 
 
@@ -210,12 +220,12 @@ def _staged_kinesis(spark: SparkSession, sf_dir: str) -> str:
     for r in rows:
         payload = wire.encode_message(
             {
-                "partition_key": str(r["user_id"]),
+                "partition_key": _NULL_PK if r["user_id"] is None else str(r["user_id"]),
                 "external_id": str(r["event_id"]),
                 "attributes": {"event_type": r["event_type"]},
             }
         )
-        batch.append({"PartitionKey": str(r["user_id"]), "Data": payload})
+        batch.append({"PartitionKey": _NULL_PK if r["user_id"] is None else str(r["user_id"]), "Data": payload})
         if len(batch) == 500:
             client.put_records(StreamName="events", Records=batch)
             batch = []
@@ -299,5 +309,5 @@ def streaming_kinesis_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained = spark.read.parquet(out_dir)
     return drained.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.count_distinct(F.col("user_key").cast("bigint")).alias("n_users"),
+        F.count_distinct(pk_decode(F.col("user_key"))).alias("n_users"),
     )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from .verified import pk_decode
 from .verified2 import _staged_kinesis
 
 
@@ -84,5 +85,5 @@ def streaming_kinesis_pipeline_partitioned(spark: SparkSession, sf_dir: str) -> 
     drained = spark.read.parquet(out_dir)
     return drained.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.countDistinct("user_key").alias("n_users"),
+        F.countDistinct(pk_decode(F.col("user_key"))).alias("n_users"),
     )
