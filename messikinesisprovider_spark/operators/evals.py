@@ -56,7 +56,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("method"),
             "n_exact",
             "n_found",
-            F.round(F.col("n_found") / F.col("n_exact"), 6).alias("recall"),
+            # NULL (undefined), not an ANSI divide-by-zero, on empty truth
+            F.when(F.col("n_exact") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("n_found") / F.col("n_exact"), 6))
+            .alias("recall"),
         )
 
     lsh = recall("lsh_multitable", sim_ann_lsh(spark, sf_dir))
@@ -100,6 +103,8 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("minhash_lsh_16x4").alias("method"),
             "n_true_pairs",
             "n_found",
-            F.round(F.col("n_found") / F.col("n_true_pairs"), 6).alias("recall"),
+            F.when(F.col("n_true_pairs") == 0, F.lit(None).cast("double"))
+            .otherwise(F.round(F.col("n_found") / F.col("n_true_pairs"), 6))
+            .alias("recall"),
         )
     )

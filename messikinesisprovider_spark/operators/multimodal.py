@@ -139,6 +139,8 @@ def decode_image_meta(images: DataFrame) -> DataFrame:
            MAX(1 + (('0x' || substr(md5(text), 5, 4))::INT % 2048)) AS max_height
     FROM documents
     WHERE text IS NOT NULL
+    -- suppress the SQL grand-total row on empty input (Spark groupBy emits none)
+    HAVING COUNT(*) > 0
     """,
     description="Synthesize binary image column → Arrow-batched mapInPandas decode → metadata agg",
     tags=("multimodal", "mapinpandas", "extension"),

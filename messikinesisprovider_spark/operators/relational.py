@@ -270,6 +270,10 @@ def approx_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- HAVING COUNT(*) > 0 is a no-op on any non-empty group; it aligns the
+    -- empty-input case, where Spark's ROLLUP/CUBE emits no rows but standard
+    -- SQL emits the () grand-total row
+    HAVING COUNT(*) > 0
     """,
     description="ROLLUP hierarchy totals",
     tags=("agg", "rollup"),
@@ -289,6 +293,7 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_osum("o_totalprice", "sum_price")}
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
     description="CUBE over status × priority",
     tags=("agg", "cube"),
@@ -306,6 +311,7 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus, {_osum("l_extendedprice", "sum_price")}
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    HAVING COUNT(*) > 0
     """,
     description="Explicit GROUPING SETS via the SQL surface",
     tags=("agg", "grouping-sets", "sql"),

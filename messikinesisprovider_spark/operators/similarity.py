@@ -293,6 +293,9 @@ def build_ivf_index(
         .select("embedding")
         .collect()
     )
+    if not rows:  # empty table/partition: no cells to train
+        _IVF_CACHE[key] = []
+        return []
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(42)
     centers = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
@@ -324,6 +327,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample, cached); reference parity: the ANN role KinesisStreamingBuffer
     has no analog for — this is pipeline-extension surface."""
     centers = build_ivf_index(spark, sf_dir)
+    if not centers:  # empty corpus: empty result with the contract schema
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cos_sim double, rnk bigint"
+        )
     centers_sql = (
         "array("
         + ", ".join("array(" + ", ".join(f"{x}D" for x in c) + ")" for c in centers)

@@ -72,10 +72,11 @@ SELECT CAST({_KMV_K} AS BIGINT) AS k,
        CAST(i.n_exact_intersection AS BIGINT) AS n_exact_intersection,
        CAST(CASE WHEN u.npool <= {_KMV_K} THEN u.npool * 1.0
             ELSE ({_KMV_K} - 1) * {_H60_SPACE} / u.tau END AS DOUBLE) AS est_union,
-       CAST(CAST(c.c AS DOUBLE)
+       CAST(CASE WHEN u.kprime = 0 THEN 0.0  -- empty union sketch
+            ELSE CAST(c.c AS DOUBLE)
             * (CASE WHEN u.npool <= {_KMV_K} THEN u.npool * 1.0
                ELSE ({_KMV_K} - 1) * {_H60_SPACE} / u.tau END)
-            / u.kprime AS DOUBLE) AS est_intersection
+            / u.kprime END AS DOUBLE) AS est_intersection
 FROM ustats u CROSS JOIN c CROSS JOIN exact e CROSS JOIN exact_i i
 """
 
@@ -140,7 +141,8 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_exact_union").cast("bigint").alias("n_exact_union"),
             F.col("n_exact_intersection").cast("bigint").alias("n_exact_intersection"),
             est_union.cast("double").alias("est_union"),
-            (F.col("c").cast("double") * est_union / F.col("kprime"))
+            F.when(F.col("kprime") == 0, F.lit(0.0))  # empty union sketch
+            .otherwise(F.col("c").cast("double") * est_union / F.col("kprime"))
             .cast("double")
             .alias("est_intersection"),
         )

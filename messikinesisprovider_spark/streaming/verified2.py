@@ -172,6 +172,12 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=("ts", "event_id_num"),
     )
     q.awaitTermination()
+    if not os.path.isdir(snap):
+        # zero microbatches fired (empty source log): the upsert never
+        # materialized a snapshot — the correct state is the empty relation
+        return spark.createDataFrame(
+            [], "user_id bigint, last_event_id bigint, n_events bigint"
+        )
     snapshot = spark.read.parquet(snap).select(
         "partition_key",
         F.col("external_id").cast("bigint").alias("last_event_id"),

@@ -72,3 +72,55 @@ def test_edge_query_matches_oracle(spark, edge_dir, name):
     duck_pdf = parity.canon(con.execute(spec.oracle).df())
     problems = parity.compare(name, spark_pdf, duck_pdf)
     assert not problems, problems
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    import duckdb
+
+    out = str(tmp_path_factory.mktemp("sfempty"))
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('/root/testdata/sf0.001/{t}.parquet') "
+            f"WHERE false) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return out
+
+
+# one per fixed empty-input class: Spark ROLLUP/CUBE emits no rows where SQL
+# emits the () total (HAVING-aligned oracles), 0-divisor recall/estimator
+# guards, empty IVF quantizer short-circuit
+EMPTY_QUERIES = [
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets",
+    "multimodal_decode_pipeline",
+    "sketch_kmv_setops",
+]
+
+
+@pytest.mark.parametrize("name", EMPTY_QUERIES)
+def test_empty_input_matches_oracle(spark, empty_dir, name):
+    parity = _load_tool("parity")
+    from messikinesisprovider_spark.registry import all_specs
+
+    spec = all_specs()[name]
+    con = parity.duck_connect(empty_dir)
+    spark_pdf = parity.canon(spec.fn(spark, empty_dir).toPandas())
+    duck_pdf = parity.canon(con.execute(spec.oracle).df())
+    problems = parity.compare(name, spark_pdf, duck_pdf)
+    assert not problems, problems
+
+
+def test_empty_input_recall_evals_and_ivf_run(spark, empty_dir):
+    from messikinesisprovider_spark.operators import evals, similarity
+
+    assert similarity.sim_ann_ivf(spark, empty_dir).count() == 0
+    for r in evals.ann_recall_eval(spark, empty_dir).collect():
+        assert r["n_exact"] == 0 and r["recall"] is None
+    r = evals.minhash_recall_eval(spark, empty_dir).collect()[0]
+    assert r["n_true_pairs"] == 0 and r["recall"] is None
