@@ -84,6 +84,10 @@ HEADLINE = [
     "quality_hashed_linear",
     "range_join_binned",
     "bpe_merge_step",
+    # round 3d: cell-bucketed semantic dedup (SemDeDup) and the bigram-LM
+    # quality gate (token explode + two count aggs + score join).
+    "semdedup_cells",
+    "ngram_lm_score",
 ]
 
 
