@@ -88,6 +88,11 @@ HEADLINE = [
     # quality gate (token explode + two count aggs + score join).
     "semdedup_cells",
     "ngram_lm_score",
+    # round 3e: bounded-state frequency sketch, two-pass robust medians,
+    # and the range-partitioned skyline.
+    "sketch_countmin_topk",
+    "anomaly_mad_flags",
+    "skyline_pareto",
 ]
 
 
