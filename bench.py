@@ -93,6 +93,7 @@ HEADLINE = [
     "sketch_countmin_topk",
     "anomaly_mad_flags",
     "skyline_pareto",
+    "percentile_bands_hourly",
 ]
 
 

@@ -318,3 +318,130 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("min_prec").isNull() | (F.col("odate") < F.col("min_prec"))).select(
         "price", "odate", "keeper_orderkey", "n_dups"
     )
+
+
+# ---------------------------------------------------------------------------
+# percentile_bands_hourly
+# ---------------------------------------------------------------------------
+
+_PCTS = (50, 95, 99)
+
+_PCT_BANDS_ORACLE = f"""
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS hour_bucket, event_id, value
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_bucket ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY hour_bucket) AS n
+  FROM ev
+)
+SELECT hour_bucket, MIN(n) AS n,
+       {", ".join(
+           f"MIN(CASE WHEN rn = ({p} * n + 99) // 100 THEN value END) AS p{p}"
+           for p in _PCTS
+       )},
+       MAX(value) AS max_value
+FROM ranked
+GROUP BY hour_bucket
+"""
+
+
+@register(
+    "percentile_bands_hourly",
+    oracle=_PCT_BANDS_ORACLE,
+    description="Per-hour discrete p50/p95/p99/max latency-style bands — rank-selected "
+    "exact percentiles (no interpolation), one window pass per bucket",
+    tags=("timeseries", "percentile", "dashboard", "extension"),
+)
+def percentile_bands_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ops-dashboard shape: per time bucket, exact discrete percentiles
+    selected by rank (ceil(p*n/100) over a unique (value, event_id) order).
+    ONE shuffle on the bucket key total: the two back-to-back Window nodes
+    (ordered row_number frame + unbounded count frame) and the final hash
+    agg all reuse the hour_bucket partitioning (plan-pinned).
+    Buckets are naturally balanced time slices; a hot hour is split by AQE.
+    Discrete selection keeps every value an actual data element — exact,
+    portable, and (unlike interpolated percentiles) identical across
+    engines and executor counts.
+    """
+    ev = (
+        events_tbl(spark, sf_dir)
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(F.date_trunc("hour", "ts").alias("hour_bucket"), "event_id", "value")
+    )
+    w = W.partitionBy("hour_bucket")
+    ranked = ev.withColumn("rn", F.row_number().over(w.orderBy("value", "event_id"))).withColumn(
+        "n", F.count("*").over(w)
+    )
+    return ranked.groupBy("hour_bucket").agg(
+        F.min("n").alias("n"),
+        *[
+            F.min(F.when(F.col("rn") == F.expr(f"({p} * n + 99) div 100"), F.col("value"))).alias(
+                f"p{p}"
+            )
+            for p in _PCTS
+        ],
+        F.max("value").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join_lev
+# ---------------------------------------------------------------------------
+
+LEV_MAX = 3
+
+_FUZZY_ORACLE = f"""
+WITH names AS (
+  SELECT p_partkey, p_name FROM part
+),
+blocked AS (
+  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b
+    ON substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+   AND abs(length(a.p_name) - length(b.p_name)) <= {LEV_MAX}
+   AND a.p_partkey < b.p_partkey
+)
+SELECT key_a, key_b, CAST(levenshtein(name_a, name_b) AS INT) AS lev
+FROM blocked
+WHERE levenshtein(name_a, name_b) <= {LEV_MAX}
+"""
+
+
+@register(
+    "fuzzy_join_lev",
+    oracle=_FUZZY_ORACLE,
+    description=f"Blocked fuzzy self-join on part names: (4-char prefix, length band) "
+    f"blocking keys, then exact levenshtein <= {LEV_MAX} — the record-linkage shape",
+    tags=("relational", "fuzzy", "linkage", "extension"),
+)
+def fuzzy_join_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage at scale is blocking + verify: the quadratic edit-
+    distance verification runs only inside a block (equi-join on the
+    4-char-prefix key — one shuffle), with a length-band predicate
+    narrowing it further (a true lower bound on edit distance, so no
+    recall loss at LEV_MAX). At 100 TB the blocking key gains a hot-block
+    document-frequency cap exactly like the shingle/band caps in
+    operators/dedup.py; the cap is omitted here because part-name prefixes
+    are near-uniform (documented, not silent).
+    """
+    names = tbl(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = names.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    b = names.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    pairs = a.join(b, "blk").filter(
+        (F.col("key_a") < F.col("key_b"))
+        & (F.abs(F.length("name_a") - F.length("name_b")) <= LEV_MAX)
+    )
+    return pairs.filter(F.levenshtein("name_a", "name_b") <= LEV_MAX).select(
+        "key_a", "key_b", F.levenshtein("name_a", "name_b").cast("int").alias("lev")
+    )

@@ -150,3 +150,96 @@ def test_skyline_no_single_partition_stage(spark):
     )
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# percentile_bands_hourly
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_bands_match_python_rank_selection(spark, tmp_path):
+    t0 = datetime.datetime(2024, 3, 1, 10, 0)
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0, 10.0]  # one hour, n=10
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = pipeline5.percentile_bands_hourly(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    xs = sorted(vals)
+    # discrete rank selection: element at ceil(p*n/100)
+    assert r["n"] == 10
+    assert r["p50"] == xs[(50 * 10 + 99) // 100 - 1]  # 5th element = 5.0
+    assert r["p95"] == xs[(95 * 10 + 99) // 100 - 1]  # 10th element = 10.0
+    assert r["p99"] == xs[(99 * 10 + 99) // 100 - 1]
+    assert r["max_value"] == 10.0
+
+
+def test_percentile_bands_single_window_pass(spark):
+    plan = (
+        pipeline5.percentile_bands_hourly(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one shuffle total: window partitioning on hour_bucket is reused by the
+    # final groupBy (two back-to-back Window nodes — row_number needs an
+    # ordered frame, count(*) an unbounded one — share the same exchange)
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join_lev
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_join_matches_naive_within_block(spark):
+    # Naive reference restricted to the same blocking (prefix + length band):
+    # the operator must find exactly those pairs.
+    import itertools
+
+    parts = (
+        spark.read.parquet(f"{SF}/part.parquet").select("p_partkey", "p_name").collect()
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    by_prefix = {}
+    for r in parts:
+        by_prefix.setdefault(r["p_name"][:4], []).append(r)
+    for grp in by_prefix.values():
+        for x, y in itertools.combinations(sorted(grp, key=lambda r: r["p_partkey"]), 2):
+            if abs(len(x["p_name"]) - len(y["p_name"])) <= pipeline5.LEV_MAX and lev(
+                x["p_name"], y["p_name"]
+            ) <= pipeline5.LEV_MAX:
+                want.add((x["p_partkey"], y["p_partkey"]))
+
+    got = {(r["key_a"], r["key_b"]) for r in pipeline5.fuzzy_join_lev(spark, SF).collect()}
+    assert got == want
+
+
+def test_fuzzy_join_finds_planted_typo(spark, tmp_path):
+    rows = [
+        (1, "goldenrod lavender spring", "B1", "M1", "T1", 1, "C1", 1.0, "x"),
+        (2, "goldenrod lavendar spring", "B1", "M1", "T1", 1, "C1", 1.0, "x"),  # 1 edit
+        (3, "completely different name", "B1", "M1", "T1", 1, "C1", 1.0, "x"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_mfgr string, p_type string, "
+        "p_size int, p_container string, p_retailprice double, p_comment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    got = {(r["key_a"], r["key_b"]): r["lev"] for r in pipeline5.fuzzy_join_lev(spark, str(tmp_path)).collect()}
+    assert got == {(1, 2): 1}
