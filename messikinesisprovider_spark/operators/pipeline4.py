@@ -111,6 +111,10 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(W.partitionBy("vec_id").orderBy("dist", "cid")))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "nrm", "cid")
+        # the assignment feeds three scans (both self-join sides + the verdict
+        # join); persist it once — at warehouse scale this is the materialized
+        # cell-assignment table (same precedent as the winnowing fingerprints)
+        .persist()
     )
     a, b = cells.alias("a"), cells.alias("b")
     dot = F.expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)")

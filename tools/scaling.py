@@ -48,6 +48,14 @@ QUERIES = [
     "bpe_merge_step",
     "sketch_kmv_setops",
     "sim_ann_ivf_hashseed",
+    "semdedup_cells",
+    "ngram_lm_score",
+    "ewma_user_value",
+    "sketch_countmin_topk",
+    "anomaly_mad_flags",
+    "skyline_pareto",
+    "percentile_bands_hourly",
+    "fuzzy_join_lev",
 ]
 
 
