@@ -195,9 +195,10 @@ def test_percentile_bands_single_window_pass(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_fuzzy_join_matches_naive_within_block(spark):
-    # Naive reference restricted to the same blocking (prefix + length band):
-    # the operator must find exactly those pairs.
+def test_fuzzy_join_matches_naive_all_pairs(spark):
+    # The Ed-Join prefix filter has GUARANTEED recall, so the operator's
+    # output must equal the full O(n²) truth: every pair with lev <= LEV_MAX
+    # among names of qualifying length.
     import itertools
 
     parts = (
@@ -215,16 +216,13 @@ def test_fuzzy_join_matches_naive_within_block(spark):
             prev = cur
         return prev[-1]
 
+    eligible = [r for r in parts if len(r["p_name"]) >= pipeline5.FUZZY_MIN_LEN]
     want = set()
-    by_prefix = {}
-    for r in parts:
-        by_prefix.setdefault(r["p_name"][:4], []).append(r)
-    for grp in by_prefix.values():
-        for x, y in itertools.combinations(sorted(grp, key=lambda r: r["p_partkey"]), 2):
-            if abs(len(x["p_name"]) - len(y["p_name"])) <= pipeline5.LEV_MAX and lev(
-                x["p_name"], y["p_name"]
-            ) <= pipeline5.LEV_MAX:
-                want.add((x["p_partkey"], y["p_partkey"]))
+    for x, y in itertools.combinations(sorted(eligible, key=lambda r: r["p_partkey"]), 2):
+        if abs(len(x["p_name"]) - len(y["p_name"])) <= pipeline5.LEV_MAX and lev(
+            x["p_name"], y["p_name"]
+        ) <= pipeline5.LEV_MAX:
+            want.add((x["p_partkey"], y["p_partkey"]))
 
     got = {(r["key_a"], r["key_b"]) for r in pipeline5.fuzzy_join_lev(spark, SF).collect()}
     assert got == want

@@ -237,3 +237,47 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark):
         assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time Python UDF"
         checked += 1
     assert checked > 100  # the sweep really covered the registry
+
+
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin. Every
+# entry is one of two sanctioned shapes; anything NEW that plans a BNLJ must
+# either re-plan or be added here with its reason.
+#   scalar: joining a 1-row (or few-row constant-size) broadcast aggregate —
+#           thresholds, corpus totals, max-date cursors, trained quantizers;
+#           build side is O(1) regardless of data scale.
+#   all-pairs baseline: deliberate exact baselines, row-capped/guarded and
+#           documented as the verifier for a bucketed scale path.
+_BNLJ_ALLOWED = {
+    # scalar broadcasts
+    "flagship_events_last_day", "cursor_scan_from_time",
+    "cursor_scan_external_id", "cursor_fallback_replay",
+    "tpch_q11_important_stock", "tpch_q22_global_sales_opportunity",
+    "sketch_distinct_rollup", "source_mixing_weights", "vocab_coverage",
+    "rebalance_classes", "mixture_weights_tokens", "bm25_topk",
+    "bpe_merge_step", "sketch_kmv_setops", "triangle_count",
+    # 16-row constant quantizer broadcasts
+    "sim_ann_ivf_hashseed", "semdedup_cells", "sim_ann_ivf",
+    # guarded all-pairs exact baselines
+    "dedup_embedding_cosine", "sim_topk_bruteforce",
+}
+
+
+def test_no_cartesian_and_bnlj_only_where_sanctioned(spark):
+    """Blanket join-discipline check: no registered query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin only for the whitelisted
+    scalar-broadcast / guarded-baseline shapes above. Catches the classic
+    scale regression where a join predicate stops being an equi-join."""
+    from messikinesisprovider_spark.registry import all_specs
+
+    checked = 0
+    for name, spec in all_specs().items():
+        if name.startswith("streaming_") or "eval" in spec.tags:
+            continue
+        plan = inspect.physical_plan(spec.fn(spark, SF))
+        assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+        if name not in _BNLJ_ALLOWED:
+            assert (
+                "BroadcastNestedLoopJoin" not in plan
+            ), f"{name} plans an unsanctioned BroadcastNestedLoopJoin"
+        checked += 1
+    assert checked > 100
