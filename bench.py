@@ -94,6 +94,11 @@ HEADLINE = [
     "anomaly_mad_flags",
     "skyline_pareto",
     "percentile_bands_hourly",
+    # round 3f: fused-pass DQ rule report, hot-key-safe salted shuffle join,
+    # and iterative BFS frontier expansion.
+    "dq_expectations",
+    "skew_salted_join",
+    "graph_khop_reach",
 ]
 
 

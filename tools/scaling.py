@@ -56,6 +56,10 @@ QUERIES = [
     "skyline_pareto",
     "percentile_bands_hourly",
     "fuzzy_join_lev",
+    # round 3f
+    "dq_expectations",
+    "skew_salted_join",
+    "graph_khop_reach",
 ]
 
 
