@@ -99,6 +99,13 @@ HEADLINE = [
     "dq_expectations",
     "skew_salted_join",
     "graph_khop_reach",
+    # round 3g: rank-fused hybrid retrieval and synchronous community
+    # detection.
+    "retrieval_rrf_hybrid",
+    "graph_label_propagation",
+    # round 3h: CEP sequence matching and the hourly seasonality grid.
+    "sequence_pattern_match",
+    "seasonal_hourly_index",
 ]
 
 

@@ -125,6 +125,17 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.ln`` where marked to get textbook BM25 at the cost of float
     cross-engine drift.
     """
+    scored = bm25_scored(spark, sf_dir)
+    return (
+        scored.select("doc_id", F.col("score_scaled").cast("bigint").alias("score_scaled"))
+        .orderBy(F.col("score_scaled").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25-scored document set (doc_id, score_scaled) before top-k —
+    shared by bm25_topk and the RRF hybrid fusion (pipeline7)."""
     d = tbl(spark, sf_dir, "documents")
     docs = d.select("doc_id", F.expr(_TOKS_SPARK).alias("toks")).select(
         "doc_id", F.size("toks").alias("dl"), "toks"
@@ -157,11 +168,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("part").alias("score_scaled"))
     )
-    return (
-        scored.select("doc_id", F.col("score_scaled").cast("bigint").alias("score_scaled"))
-        .orderBy(F.col("score_scaled").desc(), "doc_id")
-        .limit(BM25_TOPK)
-    )
+    return scored
 
 
 # ---------------------------------------------------------------------------

@@ -92,5 +92,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import pipeline4  # noqa: F401  (round 3, appended)
     from .operators import pipeline5  # noqa: F401  (round 3, appended)
     from .operators import pipeline6  # noqa: F401  (round 3, appended)
+    from .operators import pipeline7  # noqa: F401  (round 3, appended)
+    from .operators import pipeline8  # noqa: F401  (round 3, appended)
 
     return dict(_REGISTRY)

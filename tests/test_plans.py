@@ -248,7 +248,9 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark):
 #   all-pairs baseline: deliberate exact baselines, row-capped/guarded and
 #           documented as the verifier for a bucketed scale path.
 _BNLJ_ALLOWED = {
-    # scalar broadcasts
+    # scalar broadcasts (retrieval_rrf_hybrid: the ONE-row query vector —
+    # c.vec_id <> q.vec_id against a single broadcast row is O(1) build)
+    "retrieval_rrf_hybrid",
     "flagship_events_last_day", "cursor_scan_from_time",
     "cursor_scan_external_id", "cursor_fallback_replay",
     "tpch_q11_important_stock", "tpch_q22_global_sales_opportunity",

@@ -60,6 +60,12 @@ QUERIES = [
     "dq_expectations",
     "skew_salted_join",
     "graph_khop_reach",
+    # round 3g
+    "retrieval_rrf_hybrid",
+    "graph_label_propagation",
+    # round 3h
+    "sequence_pattern_match",
+    "seasonal_hourly_index",
 ]
 
 
