@@ -106,6 +106,9 @@ HEADLINE = [
     # round 3h: CEP sequence matching and the hourly seasonality grid.
     "sequence_pattern_match",
     "seasonal_hourly_index",
+    # round 3i: exact interpolated percentiles and binary media dedup.
+    "percentile_cont_exact",
+    "multimodal_dedup_binary",
 ]
 
 

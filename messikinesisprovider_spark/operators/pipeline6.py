@@ -315,8 +315,13 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic in both engines.
     """
     und = _copurchase_edges(spark, sf_dir)  # a < b, support-2 co-purchase
-    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # Persist the directed edge list: every hop (and the degree pass) joins
+    # against it — without this the support-2 mining re-runs per round. At
+    # warehouse scale the edge list is materialized to storage once.
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     seeds = (
@@ -331,17 +336,24 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seed", F.col("dst").alias("node"))
         .distinct()
     )
-    reach = frontier
+    frontiers = [frontier]
     for _ in range(KHOP_K - 1):
         frontier = (
             frontier.join(edges, frontier.node == edges.src)
             .select("seed", F.col("dst").alias("node"))
             .distinct()
         )
-        reach = reach.unionAll(frontier).distinct()
+        frontiers.append(frontier)
 
+    # Union the per-round frontiers (each internally distinct — that is what
+    # bounds the joins) and dedup across rounds ONCE in the final aggregate:
+    # countDistinct is a two-level hash agg, cheaper than a distinct shuffle
+    # per round feeding a plain count.
+    reach = frontiers[0]
+    for f_ in frontiers[1:]:
+        reach = reach.unionAll(f_)
     return (
         reach.filter(F.col("node") != F.col("seed"))
         .groupBy("seed")
-        .agg(F.count(F.lit(1)).alias("n_reachable"))
+        .agg(F.countDistinct("node").alias("n_reachable"))
     )

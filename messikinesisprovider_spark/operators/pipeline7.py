@@ -213,8 +213,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     than corpus-sized.
     """
     und = _copurchase_edges(spark, sf_dir)  # a < b, support-2 co-purchase
-    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # Persist the directed edge list: every round joins against it — without
+    # this the support-2 mining re-runs per round (measured 4.3 s -> ~2 s at
+    # sf0.1). At warehouse scale the edge list is materialized once.
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")

@@ -66,6 +66,9 @@ QUERIES = [
     # round 3h
     "sequence_pattern_match",
     "seasonal_hourly_index",
+    # round 3i
+    "percentile_cont_exact",
+    "multimodal_dedup_binary",
 ]
 
 
