@@ -109,6 +109,8 @@ HEADLINE = [
     # round 3i: exact interpolated percentiles and binary media dedup.
     "percentile_cont_exact",
     "multimodal_dedup_binary",
+    # round 3j: common-neighbor link prediction.
+    "graph_jaccard_links",
 ]
 
 

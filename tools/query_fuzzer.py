@@ -1,0 +1,195 @@
+"""Generative differential testing: random ANSI queries, Spark vs DuckDB.
+
+Per-operator oracles prove the queries we WROTE are right; this tool hunts
+the queries we did not write. A seeded generator builds random
+filter/project/join/aggregate queries from an ANSI-portable grammar, runs
+the SAME SQL text through Spark SQL (Catalyst + distributed exec, 32
+shuffle partitions) and DuckDB (single-node), and compares results with the
+parity harness's canonicalizer. Any mismatch is either an engine-semantics
+divergence we must fence (like the arg_max/NULL-ordering classes the edge
+sweep found) or a real bug.
+
+The grammar deliberately stays inside the exactly-portable subset the
+registry's determinism rules define:
+- integer / string / timestamp comparisons, AND/OR/NOT, IN lists, BETWEEN
+- integer arithmetic (+ - *), string upper/lower/substr/length/||,
+  CASE WHEN
+- aggregates: COUNT(*), COUNT(col), COUNT(DISTINCT col), MIN/MAX on
+  int/string/timestamp, SUM over ints and over CAST(... AS DECIMAL(18,6))
+- GROUP BY on 1-2 low-cardinality keys; equi-join lineitem x orders
+Floats never enter an accumulator (only decimal-quantized), division and
+LIMIT-without-total-order are excluded by construction.
+
+Usage:
+    python tools/query_fuzzer.py [n_cases=100] [seed0=0] [sf_dir]
+Exit code 1 if any case diverges; prints each failing query.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+DEC_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+TS_COL = "l_shipdate"
+O_INT = ["o_orderkey", "o_custkey"]
+O_STR = ["o_orderstatus", "o_orderpriority"]
+
+FLAGS = ["A", "N", "R"]
+STATUS = ["F", "O"]
+DATES = ["1995-06-17", "1996-01-01", "1996-09-30", "1997-03-15"]
+
+
+def _int_expr(rng: random.Random, cols) -> str:
+    c = rng.choice(cols)
+    match rng.randrange(4):
+        case 0:
+            return c
+        case 1:
+            return f"({c} + {rng.randrange(1, 100)})"
+        case 2:
+            return f"({c} * {rng.randrange(2, 9)})"
+        case _:
+            return f"({c} % {rng.randrange(2, 50)})"
+
+
+def _str_expr(rng: random.Random, cols) -> str:
+    c = rng.choice(cols)
+    match rng.randrange(4):
+        case 0:
+            return c
+        case 1:
+            return f"lower({c})"
+        case 2:
+            return f"substr({c} || '_' || {c}, 1, {rng.randrange(1, 4)})"
+        case _:
+            return f"(CASE WHEN length({c}) >= 1 THEN upper({c}) ELSE '-' END)"
+
+
+def _pred(rng: random.Random, int_cols, str_cols, str_vals) -> str:
+    match rng.randrange(6):
+        case 0:
+            return f"{rng.choice(int_cols)} {rng.choice(['<', '<=', '>', '>=', '=', '<>'])} {rng.randrange(0, 6000)}"
+        case 1:
+            vals = ", ".join(f"'{v}'" for v in rng.sample(str_vals, rng.randrange(1, len(str_vals))))
+            return f"{rng.choice(str_cols)} IN ({vals})"
+        case 2:
+            lo = rng.randrange(0, 3000)
+            return f"{rng.choice(int_cols)} BETWEEN {lo} AND {lo + rng.randrange(100, 2000)}"
+        case 3:
+            return f"{TS_COL} {rng.choice(['<', '>='])} TIMESTAMP '{rng.choice(DATES)} 00:00:00'"
+        case 4:
+            return f"NOT ({_pred(rng, int_cols, str_cols, str_vals)})"
+        case _:
+            a = _pred(rng, int_cols, str_cols, str_vals)
+            b = _pred(rng, int_cols, str_cols, str_vals)
+            return f"({a} {rng.choice(['AND', 'OR'])} {b})"
+
+
+def _agg(rng: random.Random, int_cols, str_cols, alias: str) -> str:
+    match rng.randrange(6):
+        case 0:
+            return f"COUNT(*) AS {alias}"
+        case 1:
+            return f"COUNT(DISTINCT {rng.choice(int_cols + str_cols)}) AS {alias}"
+        case 2:
+            return f"{rng.choice(['MIN', 'MAX'])}({rng.choice(int_cols + str_cols)}) AS {alias}"
+        case 3:
+            # CAST: DuckDB SUM(BIGINT) widens to HUGEINT (float64 via
+            # pandas) while Spark stays BIGINT — the one dtype divergence
+            # the first 100-seed run surfaced; the registry's cast-the-sum
+            # convention resolves it.
+            return f"CAST(SUM({_int_expr(rng, int_cols)}) AS BIGINT) AS {alias}"
+        case 4:
+            d = rng.choice(DEC_COLS)
+            return f"CAST(SUM(CAST({d} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+        case _:
+            return f"MIN({TS_COL}) AS {alias}"
+
+
+def gen_query(seed: int) -> str:
+    rng = random.Random(seed)
+    joined = rng.random() < 0.4
+    if joined:
+        int_cols = INT_COLS + O_INT
+        str_cols = STR_COLS + O_STR
+        str_vals = FLAGS + STATUS + ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+        frm = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+    else:
+        int_cols, str_cols, str_vals = INT_COLS, STR_COLS, FLAGS + STATUS
+        frm = "lineitem"
+    where = _pred(rng, int_cols, str_cols, str_vals)
+    if rng.random() < 0.7:  # aggregate query
+        n_keys = rng.randrange(0, 3)
+        keys = rng.sample(
+            STR_COLS + (["o_orderstatus", "o_orderpriority"] if joined else []) + ["l_linenumber"],
+            n_keys,
+        )
+        aggs = [_agg(rng, int_cols, str_cols, f"m{i}") for i in range(rng.randrange(1, 4))]
+        sel = ", ".join(keys + aggs)
+        group = f" GROUP BY {', '.join(keys)}" if keys else ""
+        having = ""
+        if keys and rng.random() < 0.3:
+            having = f" HAVING COUNT(*) > {rng.randrange(0, 5)}"
+        return f"SELECT {sel} FROM {frm} WHERE {where}{group}{having}"
+    # plain filter/project query
+    cols = [f"{_int_expr(rng, int_cols)} AS c0", f"{_str_expr(rng, str_cols)} AS c1"]
+    if rng.random() < 0.5:
+        cols.append(f"{TS_COL} AS c2")
+    if rng.random() < 0.5:
+        cols.append(
+            f"(CASE WHEN {_pred(rng, int_cols, str_cols, str_vals)} THEN 1 ELSE 0 END) AS c3"
+        )
+    return f"SELECT {', '.join(cols)} FROM {frm} WHERE {where}"
+
+
+def run_cases(spark, con, parity, n_cases: int, seed0: int) -> list[tuple[int, str, list[str]]]:
+    failures = []
+    for seed in range(seed0, seed0 + n_cases):
+        q = gen_query(seed)
+        spark_pdf = spark.sql(q).toPandas()
+        duck_pdf = con.execute(q).df()
+        problems = parity.compare(f"fuzz{seed}", spark_pdf, duck_pdf)
+        if problems:
+            failures.append((seed, q, problems))
+    return failures
+
+
+def main():
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    seed0 = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "parity", os.path.join(os.path.dirname(os.path.abspath(__file__)), "parity.py")
+    )
+    argv, sys.argv = sys.argv, ["parity"]
+    parity = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(parity)
+    sys.argv = argv
+
+    from messikinesisprovider_spark.session import get_spark
+
+    spark = get_spark("fuzzer")
+    for t in ["lineitem", "orders"]:
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
+    con = parity.duck_connect(sf_dir)
+
+    failures = run_cases(spark, con, parity, n_cases, seed0)
+    for seed, q, problems in failures:
+        print(f"FUZZ-FAIL seed={seed}\n  {q}")
+        for p in problems:
+            print(f"    {p}")
+    print(f"\n{len(failures)} divergences / {n_cases} random queries (seeds {seed0}..{seed0 + n_cases - 1})")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

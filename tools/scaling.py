@@ -69,6 +69,8 @@ QUERIES = [
     # round 3i
     "percentile_cont_exact",
     "multimodal_dedup_binary",
+    # round 3j
+    "graph_jaccard_links",
 ]
 
 
