@@ -84,9 +84,12 @@ def percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-2 (rank, weight) rows per percentile joined against the ranked
     values, so interpolation becomes a DECIMAL-exact weighted aggregate.
 
-    Scale plan: ONE shuffle on the group key for the ranking window (ties
-    in v broken by the unique line key — any tie order yields the same
-    value at a given rank); counts reuse that partitioning; the needed-rank
+    Scale plan: ONE shuffle on the group key for the ranking window. The
+    sort leads with the VALUE, so the result is robust even though this
+    testdata's (l_orderkey, l_linenumber) is NOT unique (the fuzzer found
+    ~1.1k duplicate line keys): rows tied on the full sort key are tied on
+    v, and the value selected at a rank is the same whichever tied row an
+    engine puts there. Counts reuse that partitioning; the needed-rank
     spec is |groups| x |percentiles| x 2 rows — broadcast into an equi-join
     on (flag, rank). No global sort, no single-partition window, no float
     accumulation.

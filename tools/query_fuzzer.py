@@ -71,7 +71,7 @@ def _str_expr(rng: random.Random, cols) -> str:
             return f"(CASE WHEN length({c}) >= 1 THEN upper({c}) ELSE '-' END)"
 
 
-def _pred(rng: random.Random, int_cols, str_cols, str_vals) -> str:
+def _pred(rng: random.Random, int_cols, str_cols, str_vals, ts_col=TS_COL) -> str:
     match rng.randrange(6):
         case 0:
             return f"{rng.choice(int_cols)} {rng.choice(['<', '<=', '>', '>=', '=', '<>'])} {rng.randrange(0, 6000)}"
@@ -82,12 +82,12 @@ def _pred(rng: random.Random, int_cols, str_cols, str_vals) -> str:
             lo = rng.randrange(0, 3000)
             return f"{rng.choice(int_cols)} BETWEEN {lo} AND {lo + rng.randrange(100, 2000)}"
         case 3:
-            return f"{TS_COL} {rng.choice(['<', '>='])} TIMESTAMP '{rng.choice(DATES)} 00:00:00'"
+            return f"{ts_col} {rng.choice(['<', '>='])} TIMESTAMP '{rng.choice(DATES)} 00:00:00'"
         case 4:
-            return f"NOT ({_pred(rng, int_cols, str_cols, str_vals)})"
+            return f"NOT ({_pred(rng, int_cols, str_cols, str_vals, ts_col)})"
         case _:
-            a = _pred(rng, int_cols, str_cols, str_vals)
-            b = _pred(rng, int_cols, str_cols, str_vals)
+            a = _pred(rng, int_cols, str_cols, str_vals, ts_col)
+            b = _pred(rng, int_cols, str_cols, str_vals, ts_col)
             return f"({a} {rng.choice(['AND', 'OR'])} {b})"
 
 
@@ -112,8 +112,79 @@ def _agg(rng: random.Random, int_cols, str_cols, alias: str) -> str:
             return f"MIN({TS_COL}) AS {alias}"
 
 
+def _window_query(rng: random.Random) -> str:
+    """Window functions over a deterministic total order (unique tiebreak —
+    the registry's ranking rule; without it running-aggregate row values on
+    tied sort keys are engine-defined). Windows run on ORDERS because its
+    o_orderkey is genuinely unique — the fuzzer itself caught that this
+    testdata's lineitem has ~1.1k duplicate (l_orderkey, l_linenumber)
+    pairs, which made a running MIN legitimately diverge (seed 139)."""
+    part = rng.choice(O_STR)
+    order = "o_orderkey"  # unique
+    fn, is_agg = rng.choice(
+        [
+            ("ROW_NUMBER()", False),
+            ("RANK()", False),
+            ("DENSE_RANK()", False),
+            ("COUNT(*)", True),
+            ("SUM(o_custkey)", True),
+            ("MIN(o_custkey)", True),
+        ]
+    )
+    frame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" if is_agg else ""
+    win = f"{fn} OVER (PARTITION BY {part} ORDER BY {order}{frame})"
+    # CAST the whole window expression — two real portability classes the
+    # fuzzer surfaced: DuckDB widens window SUM(BIGINT) to HUGEINT (like
+    # plain SUM), and Spark's ROW_NUMBER/RANK/DENSE_RANK return INT32 where
+    # DuckDB returns BIGINT. The registry's cast-the-rank/cast-the-sum
+    # conventions fence both.
+    expr = f"CAST({win} AS BIGINT)"
+    where = _pred(
+        rng, O_INT, O_STR, STATUS + ["1-URGENT", "2-HIGH", "3-MEDIUM"], ts_col="o_orderdate"
+    )
+    return f"SELECT o_orderkey, {part}, {expr} AS w0 FROM orders WHERE {where}"
+
+
+def _subquery_query(rng: random.Random) -> str:
+    inner_pred = _pred(
+        rng, O_INT, O_STR, STATUS + ["1-URGENT", "2-HIGH", "3-MEDIUM"], ts_col="o_orderdate"
+    )
+    outer_pred = _pred(rng, INT_COLS, STR_COLS, FLAGS + STATUS)
+    shape = rng.choice(["EXISTS", "NOT EXISTS", "IN"])
+    if shape == "IN":
+        sub = f"l_orderkey IN (SELECT o_orderkey FROM orders WHERE {inner_pred})"
+    else:
+        sub = (
+            f"{shape} (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey "
+            f"AND {inner_pred})"
+        )
+    return (
+        f"SELECT l_returnflag, COUNT(*) AS m0, "
+        f"CAST(SUM(l_linenumber) AS BIGINT) AS m1 "
+        f"FROM lineitem WHERE {outer_pred} AND {sub} GROUP BY l_returnflag"
+    )
+
+
+def _setop_query(rng: random.Random) -> str:
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    p1 = _pred(rng, INT_COLS, STR_COLS, FLAGS + STATUS)
+    p2 = _pred(rng, INT_COLS, STR_COLS, FLAGS + STATUS)
+    cols = "l_orderkey, l_linenumber, l_returnflag"
+    return (
+        f"SELECT {cols} FROM lineitem WHERE {p1} "
+        f"{op} SELECT {cols} FROM lineitem WHERE {p2}"
+    )
+
+
 def gen_query(seed: int) -> str:
     rng = random.Random(seed)
+    shape = rng.random()
+    if shape < 0.12:
+        return _window_query(rng)
+    if shape < 0.24:
+        return _subquery_query(rng)
+    if shape < 0.34:
+        return _setop_query(rng)
     joined = rng.random() < 0.4
     if joined:
         int_cols = INT_COLS + O_INT
