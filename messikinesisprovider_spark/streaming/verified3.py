@@ -87,3 +87,80 @@ def streaming_kinesis_pipeline_partitioned(spark: SparkSession, sf_dir: str) -> 
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct(pk_decode(F.col("user_key"))).alias("n_users"),
     )
+
+
+@register(
+    "streaming_sequence_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(COALESCE(substr(event_type, 1, 1), 'x'), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LENGTH(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_matches
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, 'cv*p')) > 0
+    """,
+    description="STREAMING CEP: the sequence_pattern_match twin through the "
+    "real log machinery — complete-mode stateful collect per user, regex "
+    "count after the aggregation; oracle = the batch CEP query",
+    tags=("streaming", "cep", "sequence", "verified"),
+)
+def streaming_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP on a stream: per-user ordered symbol state, pattern count on emit.
+
+    The stateful core is a streaming groupBy(user) holding each user's
+    (ts, event_id, symbol) structs — the same state any streaming
+    sessionizer carries; the symbol string is assembled and regex-counted
+    AFTER the aggregate, so matching itself never enters streaming state.
+    Complete output mode suits the bounded verification corpus; the
+    production shape for unbounded streams is the same aggregate under
+    `session_window` (bounding state per session) or
+    applyInPandasWithState with a timeout — both exist in streaming/.
+    Oracle = the batch CEP query (sequence_pattern_match), so the whole
+    publish -> wire-encode -> readStream -> stateful-collect -> match path
+    must be lossless and order-faithful for the hash to land.
+    """
+    import uuid
+
+    from . import consume
+    from .verified import _staged_events_log
+
+    root = _staged_events_log(spark, sf_dir)
+    stream = consume.stream_log(spark, root)
+    ev = stream.select(
+        pk_decode(F.col("partition_key")).alias("user_id"),
+        F.struct(
+            "ts",
+            F.col("external_id").cast("bigint").alias("event_id"),
+            F.coalesce(
+                F.substring(F.col("attributes")["event_type"], 1, 1), F.lit("x")
+            ).alias("sym"),
+        ).alias("ev"),
+    ).filter(F.col("user_id").isNotNull())
+    agg = ev.groupBy("user_id").agg(F.collect_list("ev").alias("evs"))
+    name = "seqm_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="seqm_ckpt_"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    seqs = spark.table(name).select(
+        "user_id",
+        F.array_join(F.expr("transform(sort_array(evs), e -> e.sym)"), "").alias("seq"),
+    )
+    matched = seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.size(F.expr("regexp_extract_all(seq, 'cv*p', 0)")).cast("bigint").alias("n_matches"),
+    )
+    return matched.filter(F.col("n_matches") > 0)
