@@ -96,5 +96,6 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import pipeline8  # noqa: F401  (round 3, appended)
     from .operators import pipeline9  # noqa: F401  (round 3, appended)
     from .operators import pipeline10  # noqa: F401  (round 3, appended)
+    from .operators import pipeline11  # noqa: F401  (round 3, appended)
 
     return dict(_REGISTRY)

@@ -32,7 +32,7 @@ def fuzz_env(spark):
     parity = _load_tool("parity")
     fuzzer = _load_tool("query_fuzzer")
     sf = "/root/testdata/sf0.001"
-    for t in ["lineitem", "orders"]:
+    for t in ["lineitem", "orders", "documents"]:
         spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
     con = parity.duck_connect(sf)
     return fuzzer, parity, con

@@ -176,6 +176,48 @@ def _setop_query(rng: random.Random) -> str:
     )
 
 
+def _doc_query(rng: random.Random) -> str:
+    """String-function shapes over documents — the table that carries
+    NULL/empty/unicode text in the edge fixtures, so running this grammar
+    against /tmp/sfedge probes cross-engine unicode semantics (codepoint
+    length, case mapping, binary collation) that TPC-H columns never hit."""
+    langs = ["en", "de", "es", "fr", "zh"]
+    sources = ["web", "wiki", "books", "code", "edge", "mirror"]
+    preds = []
+    for _ in range(rng.randrange(1, 3)):
+        match rng.randrange(4):
+            case 0:
+                preds.append(f"length(text) {rng.choice(['<', '>=', '>'])} {rng.randrange(0, 400)}")
+            case 1:
+                vals = ", ".join(f"'{v}'" for v in rng.sample(langs, rng.randrange(1, 4)))
+                preds.append(f"lang IN ({vals})")
+            case 2:
+                lo = rng.randrange(0, 300)
+                preds.append(f"n_chars BETWEEN {lo} AND {lo + rng.randrange(50, 400)}")
+            case _:
+                vals = ", ".join(f"'{v}'" for v in rng.sample(sources, rng.randrange(1, 4)))
+                preds.append(f"source IN ({vals})")
+    where = " AND ".join(preds)
+    if rng.random() < 0.5:
+        key = rng.choice(["lang", "source"])
+        aggs = rng.sample(
+            [
+                "COUNT(*) AS m0",
+                "COUNT(text) AS m1",  # NULL-skipping count
+                "CAST(SUM(length(text)) AS BIGINT) AS m2",
+                "MIN(length(text)) AS m3",
+                "COUNT(DISTINCT substr(text, 1, 2)) AS m4",
+            ],
+            rng.randrange(1, 4),
+        )
+        return f"SELECT {key}, {', '.join(aggs)} FROM documents WHERE {where} GROUP BY {key}"
+    return (
+        f"SELECT doc_id, length(text) AS c0, lower(substr(text, 1, {rng.randrange(1, 9)})) AS c1, "
+        f"(CASE WHEN text IS NULL THEN '-' ELSE 'y' END) AS c2 "
+        f"FROM documents WHERE {where}"
+    )
+
+
 def gen_query(seed: int) -> str:
     rng = random.Random(seed)
     shape = rng.random()
@@ -185,6 +227,8 @@ def gen_query(seed: int) -> str:
         return _subquery_query(rng)
     if shape < 0.34:
         return _setop_query(rng)
+    if shape < 0.44:
+        return _doc_query(rng)
     joined = rng.random() < 0.4
     if joined:
         int_cols = INT_COLS + O_INT
@@ -249,7 +293,7 @@ def main():
     from messikinesisprovider_spark.session import get_spark
 
     spark = get_spark("fuzzer")
-    for t in ["lineitem", "orders"]:
+    for t in ["lineitem", "orders", "documents"]:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).createOrReplaceTempView(t)
     con = parity.duck_connect(sf_dir)
 
