@@ -205,14 +205,14 @@ def _doc_query(rng: random.Random) -> str:
                 "COUNT(*) AS m0",
                 "COUNT(text) AS m1",  # NULL-skipping count
                 "CAST(SUM(length(text)) AS BIGINT) AS m2",
-                "MIN(length(text)) AS m3",
+                "CAST(MIN(length(text)) AS BIGINT) AS m3",  # length() is INT32 in Spark, BIGINT in DuckDB
                 "COUNT(DISTINCT substr(text, 1, 2)) AS m4",
             ],
             rng.randrange(1, 4),
         )
         return f"SELECT {key}, {', '.join(aggs)} FROM documents WHERE {where} GROUP BY {key}"
     return (
-        f"SELECT doc_id, length(text) AS c0, lower(substr(text, 1, {rng.randrange(1, 9)})) AS c1, "
+        f"SELECT doc_id, CAST(length(text) AS BIGINT) AS c0, lower(substr(text, 1, {rng.randrange(1, 9)})) AS c1, "
         f"(CASE WHEN text IS NULL THEN '-' ELSE 'y' END) AS c2 "
         f"FROM documents WHERE {where}"
     )
