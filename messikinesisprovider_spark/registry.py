@@ -97,5 +97,6 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import pipeline9  # noqa: F401  (round 3, appended)
     from .operators import pipeline10  # noqa: F401  (round 3, appended)
     from .operators import pipeline11  # noqa: F401  (round 3, appended)
+    from .operators import pipeline12  # noqa: F401  (round 3, appended)
 
     return dict(_REGISTRY)

@@ -1,0 +1,69 @@
+"""Semantic tests for pipeline12 operators (exact-substring dedup, bloom
+semi filter) against from-scratch python references."""
+
+import collections
+
+import pytest
+
+from messikinesisprovider_spark.operators import pipeline12
+
+SF = "/root/testdata/sf0.001"
+W = pipeline12.SUBSTR_W
+
+
+def _ref_exact_substring(docs):
+    """Naive reference: count W-gram occurrences corpus-wide, then per doc
+    merge the duplicated-span intervals and measure their union length."""
+    grams = collections.Counter()
+    toks = {}
+    for doc_id, text in docs:
+        if text is None:
+            continue
+        tk = text.split(" ")
+        if len(tk) < W:
+            continue
+        toks[doc_id] = tk
+        for i in range(len(tk) - W + 1):
+            grams[" ".join(tk[i : i + W])] += 1
+    out = {}
+    for doc_id, tk in toks.items():
+        n_spans = len(tk) - W + 1
+        dup_pos = [i for i in range(n_spans) if grams[" ".join(tk[i : i + W])] > 1]
+        covered = set()
+        for i in dup_pos:
+            covered.update(range(i, i + W))
+        out[doc_id] = (len(tk), n_spans, len(dup_pos), len(covered))
+    return out
+
+
+def test_exact_substring_matches_python_reference(spark):
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    want = _ref_exact_substring(docs)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_spans"], r["n_dup_spans"], r["dup_tokens"])
+        for r in pipeline12.dedup_exact_substring(spark, SF).collect()
+    }
+    assert got == want
+    assert any(v[3] > 0 for v in got.values()), "corpus should contain duplicated spans"
+
+
+def test_exact_substring_interval_merge_on_planted_overlap(spark, tmp_path):
+    # Two docs sharing one 10-token run: every contained 8-gram duplicates,
+    # and the merged interval must cover exactly the shared 10 tokens.
+    shared = " ".join(f"s{i}" for i in range(10))
+    a = "a0 a1 a2 " + shared + " a3 a4"
+    b = "b0 " + shared + " b1 b2 b3"
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(1, a, "en", "web", len(a)), (2, b, "en", "web", len(b))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(p)
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in pipeline12.dedup_exact_substring(spark, str(tmp_path)).collect()
+    }
+    # 10-token shared run -> 3 duplicated 8-grams per doc, merged to 10 tokens
+    assert got == {1: (3, 10), 2: (3, 10)}
