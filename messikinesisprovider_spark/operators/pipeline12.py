@@ -165,3 +165,128 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac"
         ),
     )
+
+
+# Bloom geometry. 63 usable bits per BIGINT word keeps every mask positive
+# (bit 63 would flip the sign — defined identically in both engines, but the
+# positive range needs no reasoning about it). 4 words x 63 bits with ~100
+# set bits puts the filter in a measurable false-positive regime at test SF
+# (fill ~1/3, fp ~= fill^3 ~= 4%); production sizes m for the target fp rate
+# (m/n ~= 14 bits/key for 0.1%) — geometry is three constants, the plan
+# shape never changes.
+BLOOM_WORDS = 4
+BLOOM_BPW = 63
+BLOOM_K = 3
+_M = BLOOM_WORDS * BLOOM_BPW
+
+
+@register(
+    "bloom_semi_filter",
+    oracle=f"""
+    WITH dim AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+    dimbits AS (
+      SELECT ({h60_duck("CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}) % {_M} AS bitpos
+      FROM dim, (SELECT UNNEST(range(0, {BLOOM_K})) AS j)
+    ),
+    bloom AS (
+      SELECT bitpos // {BLOOM_BPW} AS word,
+             BIT_OR(1::BIGINT << (bitpos % {BLOOM_BPW})) AS bits
+      FROM dimbits GROUP BY 1
+    ),
+    probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    probebits AS (
+      SELECT k, ({h60_duck("CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}) % {_M} AS bitpos
+      FROM probe, (SELECT UNNEST(range(0, {BLOOM_K})) AS j)
+    ),
+    checks AS (
+      SELECT p.k,
+             CASE WHEN b.bits IS NOT NULL
+                   AND (b.bits & (1::BIGINT << (p.bitpos % {BLOOM_BPW}))) != 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM probebits p LEFT JOIN bloom b ON b.word = p.bitpos // {BLOOM_BPW}
+    ),
+    verdict AS (SELECT k, MIN(hit) AS pass FROM checks GROUP BY k),
+    truth AS (SELECT p.k, CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END AS member
+              FROM probe p LEFT JOIN (SELECT DISTINCT k FROM dim) d USING (k))
+    SELECT COUNT(*) AS n_probed,
+           CAST(SUM(t.member) AS BIGINT) AS n_true,
+           CAST(SUM(v.pass) AS BIGINT) AS n_pass_bloom,
+           CAST(SUM(CASE WHEN v.pass = 1 AND t.member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN v.pass = 0 AND t.member = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed,
+           CASE WHEN COUNT(*) - SUM(t.member) > 0
+                THEN CAST(SUM(CASE WHEN v.pass = 1 AND t.member = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) - SUM(t.member) AS BIGINT)
+                ELSE NULL END AS fp_rate
+    FROM verdict v JOIN truth t USING (k)
+    HAVING COUNT(*) > 0
+    """,
+    description="Runtime-filter pattern made verifiable: a 252-bit Bloom "
+    "filter built from the dim side's join keys, broadcast-probed by the "
+    "fact side; emits pass/true/false-positive/missed accounting (missed "
+    "must be 0 — the no-false-negative invariant is part of the compare)",
+    tags=("join", "bloom", "runtime-filter", "extension"),
+)
+def bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (see module doc).
+
+    Plan: the dim side's keys fold into <=4 (word, bits) rows via bit_or
+    (map-side combined); the probe side joins that table BROADCAST on the
+    word index, so the pre-shuffle pruning costs no exchange at all — the
+    exact shape Spark's own runtime bloom filter injects, here explicit and
+    cross-engine verified. At 100 TB the filter stays a few KB regardless
+    of fact-side size; only n_bits scales with dim cardinality.
+    """
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    js = F.explode(F.expr(f"sequence(0, {BLOOM_K - 1})")).alias("j")
+    _salted = "concat(CAST(k AS STRING), ':', CAST(j AS STRING))"
+    bitpos = F.expr(f"{h60_spark(_salted)} % {_M}").alias("bitpos")
+
+    dim = cust.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    dimbits = dim.select("k", js).select(bitpos)
+    bloom = dimbits.groupBy(F.expr(f"bitpos div {BLOOM_BPW}").alias("word")).agg(
+        F.expr(f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bitpos % {BLOOM_BPW} AS INT)))").alias("bits")
+    )
+
+    probe = orders.select(F.col("o_custkey").alias("k")).distinct()
+    probebits = probe.select("k", js).select("k", bitpos)
+    checks = probebits.join(
+        F.broadcast(bloom), F.expr(f"word = bitpos div {BLOOM_BPW}"), "left"
+    ).select(
+        "k",
+        F.when(
+            F.col("bits").isNotNull()
+            & (
+                F.col("bits").bitwiseAND(
+                    F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(bitpos % {BLOOM_BPW} AS INT))")
+                )
+                != 0
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("hit"),
+    )
+    verdict = checks.groupBy("k").agg(F.min("hit").alias("pass"))
+    truth = probe.join(F.broadcast(dim.distinct().withColumn("member", F.lit(1))), "k", "left").select(
+        "k", F.coalesce("member", F.lit(0)).alias("member")
+    )
+    joined = verdict.join(truth, "k")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("member").alias("n_true"),
+        F.sum("pass").alias("n_pass_bloom"),
+        F.sum(F.when((F.col("pass") == 1) & (F.col("member") == 0), 1).otherwise(0)).alias(
+            "n_false_pos"
+        ),
+        F.sum(F.when((F.col("pass") == 0) & (F.col("member") == 1), 1).otherwise(0)).alias(
+            "n_missed"
+        ),
+        F.when(
+            F.count(F.lit(1)) - F.sum("member") > 0,
+            F.sum(F.when((F.col("pass") == 1) & (F.col("member") == 0), 1).otherwise(0)).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)) - F.sum("member")),
+        ).alias("fp_rate"),
+    ).where(F.col("n_probed") > 0)

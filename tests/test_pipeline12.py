@@ -67,3 +67,45 @@ def test_exact_substring_interval_merge_on_planted_overlap(spark, tmp_path):
     }
     # 10-token shared run -> 3 duplicated 8-grams per doc, merged to 10 tokens
     assert got == {1: (3, 10), 2: (3, 10)}
+
+
+def _h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _ref_bloom(dim_keys, probe_keys):
+    m = pipeline12.BLOOM_WORDS * pipeline12.BLOOM_BPW
+    bits = set()
+    for k in dim_keys:
+        for j in range(pipeline12.BLOOM_K):
+            bits.add(_h60(f"{k}:{j}") % m)
+    passes = {
+        k
+        for k in probe_keys
+        if all(_h60(f"{k}:{j}") % m in bits for j in range(pipeline12.BLOOM_K))
+    }
+    true = set(probe_keys) & set(dim_keys)
+    n_probed, n_true, n_pass = len(probe_keys), len(true), len(passes)
+    n_fp = len(passes - true)
+    n_missed = len(true - passes)
+    return (n_probed, n_true, n_pass, n_fp, n_missed)
+
+
+def test_bloom_semi_filter_matches_python_reference(spark):
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    dim = [r["c_custkey"] for r in cust.where("c_mktsegment = 'BUILDING'").collect()]
+    probe = {r["o_custkey"] for r in orders.select("o_custkey").distinct().collect()}
+    want = _ref_bloom(dim, probe)
+    row = pipeline12.bloom_semi_filter(spark, SF).collect()[0]
+    got = (row["n_probed"], row["n_true"], row["n_pass_bloom"], row["n_false_pos"], row["n_missed"])
+    assert got == want
+    assert row["n_missed"] == 0, "bloom filters never miss a true member"
+    assert row["n_true"] > 0
+
+
+def test_bloom_probe_is_broadcast(spark):
+    plan = pipeline12.bloom_semi_filter(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
