@@ -106,6 +106,34 @@ def test_bloom_semi_filter_matches_python_reference(spark):
     assert row["n_true"] > 0
 
 
+def test_stream_stream_left_flushes_tail_unmatched(spark):
+    """The regression the sentinel design exists for: clicks inside the last
+    7 days of the stream have no later watermark to evict them, so without
+    the sentinel they would never emit null-padded. Assert that unmatched
+    rows include clicks from the final 7-day tail."""
+    import datetime
+
+    from messikinesisprovider_spark.streaming.verified4 import streaming_stream_stream_left
+
+    out = streaming_stream_stream_left(spark, SF).toPandas()
+    unmatched = out[out["purchase_event_id"].isna()]
+    assert len(unmatched) > 0
+    from messikinesisprovider_spark.operators.relational import events_tbl
+
+    ev = events_tbl(spark, SF)
+    clicks = {
+        r["event_id"]: r
+        for r in ev.where("event_type = 'click'").collect()
+    }
+    max_ts = max(r["ts"] for r in clicks.values())
+    tail = [
+        cid
+        for cid in unmatched["click_event_id"]
+        if clicks[int(cid)]["ts"] > max_ts - datetime.timedelta(days=7)
+    ]
+    assert tail, "tail-of-stream unmatched clicks must flush via the sentinel"
+
+
 def test_bloom_probe_is_broadcast(spark):
     plan = pipeline12.bloom_semi_filter(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
