@@ -180,6 +180,139 @@ BLOOM_K = 3
 _M = BLOOM_WORDS * BLOOM_BPW
 
 
+# Entity-resolution parameters: part names are short (7-12 chars), so the
+# Ed-Join bound runs at q=2 / lev<=1 — signature = 3 rarest bigrams, bound
+# vacuous below 4 chars. Exact-duplicate names never reach the quadratic
+# stage at all: records canonicalize to distinct names first (the
+# production-scale trick — candidate generation runs on |distinct names|,
+# not |records|).
+ER_Q = 2
+ER_LEV = 1
+ER_SIG = ER_LEV * ER_Q + 1
+ER_MIN_LEN = ER_Q + ER_LEV * ER_Q
+
+
+@register(
+    "entity_resolution_e2e",
+    oracle=f"""
+    WITH RECURSIVE names AS (SELECT p_partkey AS key, p_name AS name FROM part),
+    dn AS (SELECT name, MIN(key) AS rep FROM names GROUP BY name),
+    eligible AS (SELECT * FROM dn WHERE length(name) >= {ER_MIN_LEN}),
+    grams AS (
+      SELECT DISTINCT rep, g FROM (
+        SELECT rep, UNNEST(list_transform(range(1, length(name)),
+               i -> substr(name, i, {ER_Q}))) AS g
+        FROM eligible
+      ) t(rep, g)
+    ),
+    freq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+    sig AS (
+      SELECT rep, g FROM (
+        SELECT gr.rep, gr.g,
+               ROW_NUMBER() OVER (PARTITION BY gr.rep ORDER BY f.df, gr.g) AS rn
+        FROM grams gr JOIN freq f USING (g)
+      ) WHERE rn <= {ER_SIG}
+    ),
+    cand AS (SELECT DISTINCT a.rep AS ra, b.rep AS rb
+             FROM sig a JOIN sig b ON a.g = b.g AND a.rep < b.rep),
+    ver AS (
+      SELECT c.ra, c.rb
+      FROM cand c JOIN eligible ea ON ea.rep = c.ra
+                  JOIN eligible eb ON eb.rep = c.rb
+      WHERE abs(length(ea.name) - length(eb.name)) <= {ER_LEV}
+        AND levenshtein(ea.name, eb.name) <= {ER_LEV}
+    ),
+    sym AS (SELECT ra AS u, rb AS v FROM ver UNION SELECT rb, ra FROM ver),
+    reach(node, label) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.u, r.label FROM sym s JOIN reach r ON s.v = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    ent AS (SELECT d.name, COALESCE(c.component, d.rep) AS entity_id
+            FROM dn d LEFT JOIN comp c ON c.node = d.rep),
+    recs AS (SELECT n.key, e.entity_id FROM names n JOIN ent e USING (name)),
+    sizes AS (SELECT entity_id, COUNT(*) AS n_members FROM recs GROUP BY entity_id)
+    SELECT r.key, r.entity_id, p.p_name AS canonical_name, s.n_members
+    FROM recs r JOIN sizes s USING (entity_id)
+    JOIN part p ON p.p_partkey = r.entity_id
+    """,
+    description="Record-linkage pipeline e2e over part records: canonicalize "
+    "to distinct names -> Ed-Join bigram-signature candidates -> exact "
+    "levenshtein<=1 verify -> connected components -> canonical entity + "
+    "member count propagated back to every record",
+    tags=("linkage", "clustering", "pipeline", "extension"),
+)
+def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution shape every master-data pipeline runs:
+    canonicalization, guaranteed-recall candidate generation (Ed-Join
+    pigeonhole: one edit destroys at most Q bigrams, so names within
+    ER_LEV edits share one of the ER_SIG rarest bigrams), exact
+    verification, transitive closure into entities (the SoCC'14 star
+    algorithm via `clusters.connected_components`), and propagation of the
+    entity verdict back onto the record table.
+
+    Scale: the quadratic candidate stage runs on DISTINCT names (64 here;
+    dedup-before-block is the standard production reduction) while the
+    record table only ever does keyed joins; closure is O(log n) rounds;
+    the rarest-bigram signature keeps candidate blocks small as the name
+    universe grows.
+    """
+    from .clusters import connected_components
+
+    names = tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"), F.col("p_name").alias("name")
+    )
+    dn = names.groupBy("name").agg(F.min("key").alias("rep"))
+    eligible = dn.filter(F.length("name") >= ER_MIN_LEN)
+    grams = eligible.select(
+        "rep",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(name) - {ER_Q - 1}), "
+                f"i -> substring(name, i, {ER_Q}))"
+            )
+        ).alias("g"),
+    ).distinct()
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    sig = (
+        grams.join(freq, "g")
+        .withColumn("rn", F.row_number().over(Window.partitionBy("rep").orderBy("df", "g")))
+        .filter(F.col("rn") <= ER_SIG)
+        .select("rep", "g")
+    )
+    cand = (
+        sig.select(F.col("rep").alias("ra"), "g")
+        .join(sig.select(F.col("rep").alias("rb"), "g"), "g")
+        .filter(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
+        .distinct()
+    )
+    ea = eligible.select(F.col("rep").alias("ra"), F.col("name").alias("name_a"))
+    eb = eligible.select(F.col("rep").alias("rb"), F.col("name").alias("name_b"))
+    ver = (
+        cand.join(ea, "ra")
+        .join(eb, "rb")
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= ER_LEV)
+        .filter(F.levenshtein("name_a", "name_b") <= ER_LEV)
+        .select("ra", "rb")
+    )
+    comp = connected_components(ver, src="ra", dst="rb")
+    ent = dn.join(comp, dn.rep == comp.node, "left").select(
+        "name", F.coalesce("component", "rep").alias("entity_id")
+    )
+    recs = names.join(ent, "name").select("key", "entity_id")
+    sizes = recs.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_members"))
+    canon = tbl(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("entity_id"), F.col("p_name").alias("canonical_name")
+    )
+    return (
+        recs.join(sizes, "entity_id")
+        .join(canon, "entity_id")
+        .select("key", "entity_id", "canonical_name", "n_members")
+    )
+
+
 @register(
     "bloom_semi_filter",
     oracle=f"""

@@ -106,6 +106,62 @@ def test_bloom_semi_filter_matches_python_reference(spark):
     assert row["n_true"] > 0
 
 
+def _lev(a, b):
+    if abs(len(a) - len(b)) > 3:
+        return 99
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_entity_resolution_matches_naive_reference(spark):
+    """Naive reference: all-pairs lev<=1 over distinct names + union-find,
+    entities propagated back to records. The Ed-Join signature filter must
+    not lose a single pair (guaranteed recall), so results are identical."""
+    rows = spark.read.parquet(f"{SF}/part.parquet").select("p_partkey", "p_name").collect()
+    names = {}
+    for r in rows:
+        names.setdefault(r["p_name"], []).append(r["p_partkey"])
+    reps = {n: min(ks) for n, ks in names.items()}
+    parent = {r: r for r in reps.values()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    dl = list(reps.items())
+    for i in range(len(dl)):
+        for j in range(i + 1, len(dl)):
+            (na, ra), (nb, rb) = dl[i], dl[j]
+            if len(na) >= pipeline12.ER_MIN_LEN and len(nb) >= pipeline12.ER_MIN_LEN:
+                if _lev(na, nb) <= pipeline12.ER_LEV:
+                    pa, pb = find(ra), find(rb)
+                    if pa != pb:
+                        parent[max(pa, pb)] = min(pa, pb)
+    # min-id canonical label per component
+    label = {r: min(x for x in parent if find(x) == find(r)) for r in parent}
+    want = {}
+    for n, ks in names.items():
+        ent = label[reps[n]]
+        for k in ks:
+            want[k] = ent
+    got = {
+        r["key"]: (r["entity_id"], r["n_members"])
+        for r in pipeline12.entity_resolution_e2e(spark, SF).collect()
+    }
+    sizes = collections.Counter(want.values())
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(v[1] == sizes[v[0]] for v in got.values())
+    assert any(s > 1 for s in sizes.values()), "duplicate names must merge"
+    assert len(sizes) > 1, "distinct products must stay separate entities"
+
+
 def test_stream_stream_left_flushes_tail_unmatched(spark):
     """The regression the sentinel design exists for: clicks inside the last
     7 days of the stream have no later watermark to evict them, so without
