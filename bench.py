@@ -111,6 +111,12 @@ HEADLINE = [
     "multimodal_dedup_binary",
     # round 3j: common-neighbor link prediction.
     "graph_jaccard_links",
+    # round 3 continued: sliding W-gram exact-substring dedup (span hash
+    # groupBy + per-doc interval merge), the broadcast Bloom runtime filter,
+    # and the canonicalize->block->verify->close entity-resolution chain.
+    "dedup_exact_substring",
+    "bloom_semi_filter",
+    "entity_resolution_e2e",
 ]
 
 
