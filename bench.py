@@ -117,6 +117,11 @@ HEADLINE = [
     "dedup_exact_substring",
     "bloom_semi_filter",
     "entity_resolution_e2e",
+    # round 3 continued: SCD2 interval build + point-in-time join (the
+    # union-and-carry temporal pair) and hash-threshold weighted sampling.
+    "scd2_history",
+    "pit_join_scd2",
+    "sample_weighted_bernoulli",
 ]
 
 
