@@ -122,6 +122,13 @@ HEADLINE = [
     "scd2_history",
     "pit_join_scd2",
     "sample_weighted_bernoulli",
+    # round 3 continued: eval/statistics/mining batch — exact rank-statistic
+    # AUC, association rules over mined pairs, one-pass moment/correlation
+    # matrix, and adjacent-token PMI collocations.
+    "eval_auc_exact",
+    "assoc_rules_lift",
+    "corr_pairs_exact",
+    "token_pmi_bigrams",
 ]
 
 

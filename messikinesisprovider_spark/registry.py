@@ -101,4 +101,6 @@ def all_specs() -> dict[str, QuerySpec]:
     from .streaming import verified4 as _verified4  # noqa: F401  (round 3, appended)
     from .operators import pipeline13  # noqa: F401  (round 3, appended)
 
+    from .operators import pipeline14  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)
