@@ -129,6 +129,11 @@ HEADLINE = [
     "assoc_rules_lift",
     "corr_pairs_exact",
     "token_pmi_bigrams",
+    # round 3 continued: one Lloyd k-means iteration (assignment + exact
+    # integer centroid update), per-group closed-form OLS, chi-square drift.
+    "kmeans_lloyd_step",
+    "ols_per_group",
+    "drift_chisquare_bins",
 ]
 
 

@@ -103,4 +103,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import pipeline14  # noqa: F401  (round 3, appended)
 
+    from .operators import pipeline15  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)
