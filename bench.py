@@ -134,6 +134,10 @@ HEADLINE = [
     "kmeans_lloyd_step",
     "ols_per_group",
     "drift_chisquare_bins",
+    # round 3 continued: sequence/survival analytics + sketch algebra.
+    "markov_transitions",
+    "survival_hazard_bins",
+    "sketch_countmin_merge",
 ]
 
 

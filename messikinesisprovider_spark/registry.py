@@ -105,4 +105,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import pipeline15  # noqa: F401  (round 3, appended)
 
+    from .operators import pipeline16  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)
