@@ -138,6 +138,9 @@ HEADLINE = [
     "markov_transitions",
     "survival_hazard_bins",
     "sketch_countmin_merge",
+    # round 3 continued: interval-join attribution and incremental SCD2.
+    "attribution_linear",
+    "scd2_incremental_merge",
 ]
 
 

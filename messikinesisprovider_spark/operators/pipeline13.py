@@ -71,19 +71,10 @@ _SCD2_CTES = f"""
 """
 
 
-def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(user_id, version, tier, valid_from, n_events) — shared by both
-    temporal queries."""
-    ev = (
-        events_tbl(spark, sf_dir)
-        .where(F.col("user_id").isNotNull())
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            F.floor(F.col("value") / TIER_BAND).cast("bigint").alias("tier"),
-        )
-    )
+def scd2_versions_from(ev: DataFrame) -> DataFrame:
+    """(user_id, version, tier, valid_from, n_events) from a projected event
+    set (event_id, user_id, ts, tier) — the SCD2 core, reusable over any
+    event subset (pipeline17's incremental merge builds it per-slice)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
         "*",
@@ -103,6 +94,26 @@ def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def scd2_event_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (event_id, user_id, ts, tier) projection every SCD2 build uses."""
+    return (
+        events_tbl(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.floor(F.col("value") / TIER_BAND).cast("bigint").alias("tier"),
+        )
+    )
+
+
+def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, version, tier, valid_from, n_events) — shared by both
+    temporal queries."""
+    return scd2_versions_from(scd2_event_projection(spark, sf_dir))
 
 
 @register(

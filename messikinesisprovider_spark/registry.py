@@ -107,4 +107,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import pipeline16  # noqa: F401  (round 3, appended)
 
+    from .operators import pipeline17  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)
