@@ -141,6 +141,9 @@ HEADLINE = [
     # round 3 continued: interval-join attribution and incremental SCD2.
     "attribution_linear",
     "scd2_incremental_merge",
+    # round 3 continued: streaming SCD2 maintenance and the privacy audit.
+    "streaming_scd2_maintenance",
+    "k_anonymity_audit",
 ]
 
 

@@ -109,4 +109,8 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import pipeline17  # noqa: F401  (round 3, appended)
 
+    from .streaming import verified5 as _verified5  # noqa: F401  (round 3, appended)
+
+    from .operators import pipeline18  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)

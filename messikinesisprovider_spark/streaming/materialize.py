@@ -99,3 +99,98 @@ def upsert_snapshot(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_maintain(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    tier_band: int = 50,
+):
+    """Start a streaming query maintaining an SCD2 version table.
+
+    The incremental-warehouse pattern executed as a topology (the batch
+    twin is ``operators.pipeline17.scd2_incremental_merge``): per
+    microbatch, (1) the batch folds into an append-only deduplicated event
+    store (idempotent under at-least-once replay — dedupe by external_id),
+    (2) ONLY the users present in the batch get their version chains
+    recomputed from the store, (3) everyone else's version rows carry
+    forward via an anti-join. Work per batch ∝ affected users' history,
+    not the dimension — the same contract a MERGE-based warehouse job has.
+
+    Crash safety: both stores use the stage-then-swap + _SUCCESS-recovery
+    protocol of ``upsert_snapshot``; events swap FIRST, so a crash between
+    the two swaps leaves a rebuildable (store-ahead-of-versions) state that
+    the next batch's recompute heals for its affected users and a full
+    rebuild heals globally.
+    """
+    import os
+    import shutil
+
+    from ..operators.pipeline13 import scd2_versions_from
+
+    spark = stream_df.sparkSession
+    events_dir = os.path.join(state_dir, "events")
+    versions_dir = os.path.join(state_dir, "versions")
+
+    def _recover(target: str) -> None:
+        staged = target + ".staging"
+        if os.path.exists(staged) and not os.path.exists(target):
+            if os.path.exists(os.path.join(staged, "_SUCCESS")):
+                os.rename(staged, target)
+            else:
+                shutil.rmtree(staged)
+
+    def _swap(df: DataFrame, target: str) -> None:
+        staged = target + ".staging"
+        df.write.mode("overwrite").parquet(staged)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(staged, target)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        _recover(events_dir)
+        _recover(versions_dir)
+        slim = batch_df.select(
+            "partition_key", "external_id", "ts", "attributes",
+            "shard_id", "sequence_number",
+        )
+        if os.path.exists(events_dir):
+            store = latest_per_key(
+                spark.read.parquet(events_dir).unionByName(slim), key="external_id"
+            )
+        else:
+            store = latest_per_key(slim, key="external_id")
+        _swap(store, events_dir)
+
+        affected = slim.select("partition_key").distinct()
+        ev = (
+            spark.read.parquet(events_dir)
+            .join(affected, "partition_key", "left_semi")
+            .select(
+                F.col("external_id").cast("bigint").alias("event_id"),
+                F.col("partition_key").alias("user_id"),
+                "ts",
+                F.floor(F.col("attributes")["value"].cast("double") / tier_band)
+                .cast("bigint")
+                .alias("tier"),
+            )
+        )
+        recomputed = scd2_versions_from(ev)
+        if os.path.exists(versions_dir):
+            carried = spark.read.parquet(versions_dir).join(
+                affected.withColumnRenamed("partition_key", "user_id"),
+                "user_id",
+                "left_anti",
+            )
+            merged = recomputed.unionByName(carried)
+        else:
+            merged = recomputed
+        _swap(merged, versions_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -58,7 +58,13 @@ def _staged_events_log(spark: SparkSession, sf_dir: str) -> str:
         pk_encode(F.col("user_id")).alias("partition_key"),
         F.col("event_id").cast("string").alias("external_id"),
         "ts",
-        F.create_map(F.lit("event_type"), F.col("event_type")).alias("attributes"),
+        # value rides as a string attribute (Spark double<->string casts
+        # round-trip exactly) so downstream warehouse topologies (SCD2
+        # maintenance) can rebuild numeric state from the log alone
+        F.create_map(
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("value"), F.col("value").cast("string"),
+        ).alias("attributes"),
     )
     ingest_dataframe(log, src, "events", now=datetime(2026, 1, 1, tzinfo=timezone.utc))
     _STAGED[key] = root

@@ -71,6 +71,19 @@ QUERIES = [
     "multimodal_dedup_binary",
     # round 3j
     "graph_jaccard_links",
+    # round 3n-3q
+    "eval_auc_exact",
+    "assoc_rules_lift",
+    "corr_pairs_exact",
+    "token_pmi_bigrams",
+    "kmeans_lloyd_step",
+    "ols_per_group",
+    "drift_chisquare_bins",
+    "markov_transitions",
+    "survival_hazard_bins",
+    "sketch_countmin_merge",
+    "attribution_linear",
+    "scd2_incremental_merge",
 ]
 
 
