@@ -261,6 +261,15 @@ _BNLJ_ALLOWED = {
     "sim_ann_ivf_hashseed", "semdedup_cells", "sim_ann_ivf",
     # guarded all-pairs exact baselines
     "dedup_embedding_cosine", "sim_topk_bruteforce",
+    # rounds 3n-3r — scalar broadcasts (1-row totals/bounds/report aggregates:
+    # token_pmi's corpus total, drift's time bounds, countmin_merge's verdict
+    # row, scd2_incremental's count report, assoc_rules' basket total) and
+    # post-aggregation micro-table theta joins whose cardinality is bounded
+    # by the DOMAIN, not the data (AUC's score buckets, survival's day bins,
+    # kmeans' 16-centroid assignment)
+    "eval_auc_exact", "assoc_rules_lift", "token_pmi_bigrams",
+    "kmeans_lloyd_step", "drift_chisquare_bins", "survival_hazard_bins",
+    "sketch_countmin_merge", "scd2_incremental_merge",
 }
 
 
