@@ -42,14 +42,13 @@ pipeline ops are graded first-class).
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
 from .lakeops import _MAX_BASKET, _MIN_SUPPORT, copurchase_pairs
-from .relational import tbl
+from .relational import spread, tbl
 from .retrieval3 import _TOKS_DUCK, _TOKS_SPARK
 
 # ---------------------------------------------------------------------------
@@ -329,8 +328,16 @@ def corr_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _moment_alias(x, y)
             )
         )
-    a = tbl(spark, sf_dir, "lineitem").agg(*aggs)
-    rows = []
+    # spread(): the test table is ONE parquet split -> the 14 decimal partial
+    # sums would run on one core (measured 4.1s); round-robin repartition
+    # parallelizes the partials (1.1s) and is a no-op on a real multi-split
+    # table. Decimal partials dominate this query's cost, not the scan.
+    a = spread(tbl(spark, sf_dir, "lineitem")).agg(*aggs)
+    # ONE aggregate, six rows: a union of six selects over the same agg
+    # re-executes the full scan+aggregate per branch (no cross-branch plan
+    # dedup above the exchange — measured 6x the single-pass cost), so the
+    # pair rows are exploded out of a single array over the one agg row.
+    structs = []
     for x, y in _corr_pairs():
         corr = _CORR_EXPR.format(
             sx=_moment_alias(x),
@@ -339,17 +346,15 @@ def corr_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             sxx=_moment_alias(x, x),
             syy=_moment_alias(y, y),
         )
-        rows.append(
-            a.select(
-                F.lit(f"{x}__{y}").alias("pair"),
-                F.col("n").cast("long").alias("n"),
-                F.col(_moment_alias(x)).alias("sum_x"),
-                F.col(_moment_alias(y)).alias("sum_y"),
-                F.col(_moment_alias(x, y)).alias("sum_xy"),
-                F.expr(corr).alias("corr"),
-            )
+        structs.append(
+            f"named_struct('pair', '{x}__{y}', "
+            f"'sum_x', {_moment_alias(x)}, 'sum_y', {_moment_alias(y)}, "
+            f"'sum_xy', {_moment_alias(x, y)}, 'corr', {corr})"
         )
-    return reduce(DataFrame.unionAll, rows)
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.explode(F.expr("array(" + ", ".join(structs) + ")")).alias("p"),
+    ).select("p.pair", "n", "p.sum_x", "p.sum_y", "p.sum_xy", "p.corr")
 
 
 # ---------------------------------------------------------------------------
