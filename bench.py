@@ -144,6 +144,9 @@ HEADLINE = [
     # round 3 continued: streaming SCD2 maintenance and the privacy audit.
     "streaming_scd2_maintenance",
     "k_anonymity_audit",
+    # round 3 continued: forecast backtest and order-2 journey mining.
+    "forecast_backtest_snaive",
+    "event_trigram_paths",
 ]
 
 

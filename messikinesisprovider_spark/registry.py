@@ -113,4 +113,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import pipeline18  # noqa: F401  (round 3, appended)
 
+    from .operators import pipeline19  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)
