@@ -147,6 +147,8 @@ HEADLINE = [
     # round 3 continued: forecast backtest and order-2 journey mining.
     "forecast_backtest_snaive",
     "event_trigram_paths",
+    # round 3 continued: deterministic training-pair generation.
+    "negative_sampling_hash",
 ]
 
 

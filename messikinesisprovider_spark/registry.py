@@ -115,4 +115,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import pipeline19  # noqa: F401  (round 3, appended)
 
+    from .operators import pipeline20  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)
