@@ -149,6 +149,9 @@ HEADLINE = [
     "event_trigram_paths",
     # round 3 continued: deterministic training-pair generation.
     "negative_sampling_hash",
+    # round 3 continued: CUSUM changepoints and leakage-free splitting.
+    "changepoint_cusum_hourly",
+    "split_group_aware",
 ]
 
 

@@ -117,4 +117,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import pipeline20  # noqa: F401  (round 3, appended)
 
+    from .operators import pipeline21  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)
