@@ -218,9 +218,30 @@ def _doc_query(rng: random.Random) -> str:
     )
 
 
+def _rollup_query(rng: random.Random) -> str:
+    """GROUP BY ROLLUP/CUBE shapes. Two portability conventions baked in
+    (both found by earlier sweeps / registry hardening): (1) HAVING
+    COUNT(*) > 0 — Spark emits NO rows on an empty input where standard
+    SQL emits the () grand-total row, and a WHERE clause can make any
+    input empty; (2) GROUPING() is cast — Spark returns it as a narrow
+    int, DuckDB as BIGINT."""
+    keys = rng.sample(["l_returnflag", "l_linestatus", "l_linenumber"], rng.randrange(1, 3))
+    op = rng.choice(["ROLLUP", "CUBE"])
+    aggs = [_agg(rng, INT_COLS, STR_COLS, f"m{i}") for i in range(rng.randrange(1, 3))]
+    gsel = ", ".join(f"CAST(GROUPING({k}) AS BIGINT) AS g_{k}" for k in keys)
+    where = _pred(rng, INT_COLS, STR_COLS, FLAGS + STATUS)
+    return (
+        f"SELECT {', '.join(keys)}, {gsel}, {', '.join(aggs)} "
+        f"FROM lineitem WHERE {where} "
+        f"GROUP BY {op}({', '.join(keys)}) HAVING COUNT(*) > 0"
+    )
+
+
 def gen_query(seed: int) -> str:
     rng = random.Random(seed)
     shape = rng.random()
+    if shape < 0.08:
+        return _rollup_query(rng)
     if shape < 0.12:
         return _window_query(rng)
     if shape < 0.24:
