@@ -152,6 +152,8 @@ HEADLINE = [
     # round 3 continued: CUSUM changepoints and leakage-free splitting.
     "changepoint_cusum_hourly",
     "split_group_aware",
+    # round 3 continued: day-partitioned layout + pruned scan.
+    "partition_pruned_daily",
 ]
 
 
@@ -167,8 +169,10 @@ def main():
     # Offline table-layout step (not timed, like any production bucketing):
     # write the bucketed tables for the bench SF before the clock starts.
     from messikinesisprovider_spark.operators.bucketed import ensure_bucketed_tables
+    from messikinesisprovider_spark.operators.partitioned import ensure_day_partitioned_events
 
     ensure_bucketed_tables(spark, SF_DIR)
+    ensure_day_partitioned_events(spark, SF_DIR)
     for name in HEADLINE:
         if os.path.isdir(warm_dir) or os.path.exists(warm_dir):
             specs[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()

@@ -119,4 +119,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import pipeline21  # noqa: F401  (round 3, appended)
 
+    from .operators import partitioned  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)
