@@ -154,6 +154,8 @@ HEADLINE = [
     "split_group_aware",
     # round 3 continued: day-partitioned layout + pruned scan.
     "partition_pruned_daily",
+    # round 3 continued: product-quantization ANN (encode + ADC + rerank).
+    "sim_ann_pq_adc",
 ]
 
 

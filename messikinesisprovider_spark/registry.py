@@ -121,4 +121,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import partitioned  # noqa: F401  (round 3, appended)
 
+    from .operators import similarity4  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)
