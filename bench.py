@@ -156,6 +156,8 @@ HEADLINE = [
     "partition_pruned_daily",
     # round 3 continued: product-quantization ANN (encode + ADC + rerank).
     "sim_ann_pq_adc",
+    # round 3 continued: streaming temporal-table enrichment.
+    "streaming_pit_enrich",
 ]
 
 

@@ -123,4 +123,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import similarity4  # noqa: F401  (round 3, appended)
 
+    from .streaming import verified6 as _verified6  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)

@@ -75,3 +75,25 @@ def test_staging_crash_between_swaps_recovers(spark):
     assert os.path.exists(os.path.join(versions_dir + ".staging", "_SUCCESS"))
     _run_maintain(spark, root, state)  # replay drives recovery + re-merge
     assert _versions_set(spark, state) == v1
+
+
+def test_streaming_pit_enrich_equals_batch_pit_join(spark):
+    """The streaming temporal enrich must agree row-for-row with the batch
+    point-in-time join (same SCD2 semantics through a different engine
+    path: stream-maintained store + stream-static interval join vs batch
+    union-and-carry)."""
+    from messikinesisprovider_spark.streaming.verified6 import streaming_pit_enrich
+
+    got = {
+        (r["click_event_id"],): (
+            r["user_id"], r["click_ts"], r["version_at_click"], r["tier_at_click"],
+        )
+        for r in streaming_pit_enrich(spark, SF).collect()
+    }
+    want = {
+        (r["click_event_id"],): (
+            r["user_id"], r["click_ts"], r["version_at_click"], r["tier_at_click"],
+        )
+        for r in all_specs()["pit_join_scd2"].fn(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
