@@ -158,6 +158,8 @@ HEADLINE = [
     "sim_ann_pq_adc",
     # round 3 continued: streaming temporal-table enrichment.
     "streaming_pit_enrich",
+    # round 3 continued: directional containment dedup.
+    "dedup_containment_kmv",
 ]
 
 

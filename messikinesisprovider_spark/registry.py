@@ -125,4 +125,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .streaming import verified6 as _verified6  # noqa: F401  (round 3, appended)
 
+    from .operators import pipeline22  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)
