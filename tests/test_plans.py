@@ -270,6 +270,11 @@ _BNLJ_ALLOWED = {
     "eval_auc_exact", "assoc_rules_lift", "token_pmi_bigrams",
     "kmeans_lloyd_step", "drift_chisquare_bins", "survival_hazard_bins",
     "sketch_countmin_merge", "scd2_incremental_merge",
+    # rounds 3s-3y scalar broadcasts: the trigram corpus total, the
+    # forecast day bounds, the split leakage-verdict row, the part-domain
+    # max for negative sampling
+    "event_trigram_paths", "forecast_backtest_snaive", "split_group_aware",
+    "negative_sampling_hash",
 }
 
 
