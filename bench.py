@@ -160,6 +160,9 @@ HEADLINE = [
     "streaming_pit_enrich",
     # round 3 continued: directional containment dedup.
     "dedup_containment_kmv",
+    # round 3 continued: rolling robust center + classifier eval.
+    "rolling_median_k",
+    "langid_confusion_matrix",
 ]
 
 

@@ -84,6 +84,16 @@ QUERIES = [
     "sketch_countmin_merge",
     "attribution_linear",
     "scd2_incremental_merge",
+    # rounds 3r-3y
+    "k_anonymity_audit",
+    "forecast_backtest_snaive",
+    "event_trigram_paths",
+    "negative_sampling_hash",
+    "changepoint_cusum_hourly",
+    "split_group_aware",
+    "partition_pruned_daily",
+    "sim_ann_pq_adc",
+    "dedup_containment_kmv",
 ]
 
 
