@@ -94,6 +94,9 @@ QUERIES = [
     "partition_pruned_daily",
     "sim_ann_pq_adc",
     "dedup_containment_kmv",
+    # round 3z
+    "rolling_median_k",
+    "langid_confusion_matrix",
 ]
 
 
