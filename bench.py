@@ -163,6 +163,8 @@ HEADLINE = [
     # round 3 continued: rolling robust center + classifier eval.
     "rolling_median_k",
     "langid_confusion_matrix",
+    # round 3 continued: one PCA power-iteration step (spectral family).
+    "embedding_pca_power_iter",
 ]
 
 

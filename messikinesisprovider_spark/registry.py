@@ -129,4 +129,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import pipeline23  # noqa: F401  (round 3, appended)
 
+    from .operators import pipeline24  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)

@@ -275,6 +275,9 @@ _BNLJ_ALLOWED = {
     # max for negative sampling
     "event_trigram_paths", "forecast_backtest_snaive", "split_group_aware",
     "negative_sampling_hash",
+    # round 3z/3aa scalar broadcasts: confusion-matrix overall totals, the
+    # PCA Rayleigh/max-abs report rows
+    "langid_confusion_matrix", "embedding_pca_power_iter",
 }
 
 
