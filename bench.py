@@ -165,6 +165,8 @@ HEADLINE = [
     "langid_confusion_matrix",
     # round 3 continued: one PCA power-iteration step (spectral family).
     "embedding_pca_power_iter",
+    # round 3 continued: bounded-state streaming sketch maintenance.
+    "streaming_sketch_maintenance",
 ]
 
 

@@ -131,4 +131,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import pipeline24  # noqa: F401  (round 3, appended)
 
+    from .streaming import verified7 as _verified7  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)

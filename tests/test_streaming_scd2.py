@@ -97,3 +97,34 @@ def test_streaming_pit_enrich_equals_batch_pit_join(spark):
         for r in all_specs()["pit_join_scd2"].fn(spark, SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_sketch_maintenance_full_replay_idempotent(spark):
+    """Re-delivering the whole log with a fresh checkpoint must leave the
+    accumulated sketch unchanged (batch-id-keyed increments overwrite)."""
+    import tempfile
+
+    from messikinesisprovider_spark.streaming import consume
+    from messikinesisprovider_spark.streaming import verified7 as v7
+
+    root = _staged_events_log(spark, SF)
+    base = tempfile.mkdtemp(prefix="cms_replay_")
+
+    def run():
+        q = v7.sketch_accumulate(
+            consume.stream_log(spark, root),
+            state_dir=base,
+            checkpoint_dir=tempfile.mkdtemp(prefix="cms_ckpt_"),
+        )
+        q.awaitTermination()
+        cms = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(base, "inc"))
+            .groupBy("r", "b")
+            .agg(F.sum("counter").alias("counter"))
+        )
+        return {(r["r"], r["b"]): r["counter"] for r in cms.collect()}
+
+    s1 = run()
+    s2 = run()  # full replay, fresh checkpoint, same state dir
+    assert s1 == s2 and len(s1) > 0
