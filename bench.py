@@ -167,6 +167,9 @@ HEADLINE = [
     "embedding_pca_power_iter",
     # round 3 continued: bounded-state streaming sketch maintenance.
     "streaming_sketch_maintenance",
+    # round 3 continued: the full 3-round Lloyd loop (compounding argmins
+    # over derived centroids, every round decimal-exact).
+    "kmeans_lloyd_rounds",
 ]
 
 

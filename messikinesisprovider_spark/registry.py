@@ -133,4 +133,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .streaming import verified7 as _verified7  # noqa: F401  (round 3, appended)
 
+    from .operators import pipeline25  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)

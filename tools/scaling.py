@@ -97,6 +97,10 @@ QUERIES = [
     # round 3z
     "rolling_median_k",
     "langid_confusion_matrix",
+    # round 3aa
+    "embedding_pca_power_iter",
+    # round 3cc
+    "kmeans_lloyd_rounds",
 ]
 
 
