@@ -170,6 +170,8 @@ HEADLINE = [
     # round 3 continued: the full 3-round Lloyd loop (compounding argmins
     # over derived centroids, every round decimal-exact).
     "kmeans_lloyd_rounds",
+    # round 3 continued: the l-diversity privacy complement.
+    "l_diversity_audit",
 ]
 
 

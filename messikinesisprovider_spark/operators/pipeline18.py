@@ -71,3 +71,58 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") < K_ANON).alias("is_violation"),
         F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0).cast("long").alias("n_at_risk"),
     )
+
+
+L_DIVERSITY = 3
+
+_LDIV_ORACLE = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS n,
+         COUNT(DISTINCT CAST(floor(c_acctbal / {_BAL_BAND}) AS BIGINT)) AS l_distinct
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n,
+       CAST(l_distinct AS BIGINT) AS l_distinct,
+       l_distinct < {L_DIVERSITY} AS is_violation,
+       CAST(CASE WHEN l_distinct < {L_DIVERSITY} THEN n ELSE 0 END AS BIGINT)
+         AS n_at_risk
+FROM qi
+"""
+
+
+@register(
+    "l_diversity_audit",
+    oracle=_LDIV_ORACLE,
+    description=f"l-diversity audit (l={L_DIVERSITY}): distinct sensitive "
+    "balance bands per (nation, segment) quasi-identifier group",
+    tags=("privacy", "audit", "aggregate", "extension"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complement of k-anonymity: a group can be large (k-anonymous)
+    yet expose its members if everyone shares one sensitive value —
+    l-diversity requires >= l distinct sensitive values per QI group.
+    Same one-pass shape as `k_anonymity_audit` (COUNT DISTINCT is the
+    only addition — a two-level aggregate under AQE); |QI| output rows."""
+    qi = (
+        tbl(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(
+                F.floor(F.col("c_acctbal") / _BAL_BAND).cast("long")
+            ).alias("l_distinct"),
+        )
+    )
+    return qi.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        F.col("l_distinct").cast("long").alias("l_distinct"),
+        (F.col("l_distinct") < L_DIVERSITY).alias("is_violation"),
+        F.when(F.col("l_distinct") < L_DIVERSITY, F.col("n"))
+        .otherwise(0)
+        .cast("long")
+        .alias("n_at_risk"),
+    )
