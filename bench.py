@@ -172,6 +172,8 @@ HEADLINE = [
     "kmeans_lloyd_rounds",
     # round 3 continued: the l-diversity privacy complement.
     "l_diversity_audit",
+    # round 3 continued: JSONL ingestion round-trip.
+    "ingest_jsonl_documents",
 ]
 
 
