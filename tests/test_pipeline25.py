@@ -18,10 +18,6 @@ def _q6(x: float) -> int:
     return int(Decimal(x * 1000000.0).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
-def _q12(x: float) -> Decimal:
-    return Decimal(x).quantize(Decimal("0.000000000001"), rounding=ROUND_HALF_UP)
-
-
 def test_three_rounds_match_python_replay(spark):
     vecs = {
         r["vec_id"]: [float(x) for x in r["embedding"]]
@@ -36,8 +32,9 @@ def test_three_rounds_match_python_replay(spark):
         for vid, v in vecs.items():
             best = None
             for cid, cv in cent.items():
-                d2 = sum((_q12((v[d] - cv[d]) * (v[d] - cv[d])) for d in range(64)),
-                         Decimal(0))
+                d2 = 0.0
+                for d in range(64):  # same ascending float fold
+                    d2 += (v[d] - cv[d]) * (v[d] - cv[d])
                 if best is None or (d2, cid) < best[:2]:
                     best = (d2, cid)
             assign[vid] = best[1]
