@@ -174,6 +174,8 @@ HEADLINE = [
     "l_diversity_audit",
     # round 3 continued: JSONL ingestion round-trip.
     "ingest_jsonl_documents",
+    # round 3 continued: growth accounting.
+    "user_growth_curve",
 ]
 
 

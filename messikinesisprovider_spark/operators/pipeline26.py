@@ -1,0 +1,78 @@
+"""Growth accounting, round 3 (appended).
+
+``user_growth_curve``: the product-analytics staple — per day: active
+users, NEW users (first-ever-seen that day) and the cumulative user
+count. New-user attribution is a per-user MIN(day) (one shuffle); the
+cumulative curve is a day-level theta-join aggregate over the |days|
+micro-table (the survival/AUC shape — NO global-ordered window, which is
+the banned single-partition plan). Everything is exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .relational import events_tbl
+
+_GROWTH_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+active AS (
+  SELECT day, COUNT(DISTINCT user_id) AS n_active FROM ev GROUP BY day
+),
+first_seen AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id),
+new_users AS (SELECT day, COUNT(*) AS n_new FROM first_seen GROUP BY day),
+cum AS (
+  SELECT a.day, CAST(SUM(COALESCE(n.n_new, 0)) AS BIGINT) AS n_cum
+  FROM active a
+  LEFT JOIN new_users n ON n.day <= a.day
+  GROUP BY a.day
+)
+SELECT active.day AS day,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(COALESCE(nu.n_new, 0) AS BIGINT) AS n_new,
+       cum.n_cum AS n_cum
+FROM active
+LEFT JOIN new_users nu ON nu.day = active.day
+JOIN cum ON cum.day = active.day
+"""
+
+
+@register(
+    "user_growth_curve",
+    oracle=_GROWTH_ORACLE,
+    description="Daily growth accounting: active users, first-seen new users, "
+    "cumulative users (day-level theta join — no global-ordered window)",
+    tags=("analytics", "growth", "extension"),
+)
+def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active / new / cumulative per day (see module doc)."""
+    ev = (
+        events_tbl(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").cast("timestamp").alias("day"))
+    )
+    active = ev.groupBy("day").agg(F.count_distinct("user_id").alias("n_active"))
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_users = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    n2 = new_users.select(F.col("day").alias("day2"), F.col("n_new").alias("m"))
+    cum = (
+        active.select("day")
+        .join(n2, F.col("day2") <= F.col("day"), "left")
+        .groupBy("day")
+        .agg(F.coalesce(F.sum("m"), F.lit(0)).cast("long").alias("n_cum"))
+    )
+    return (
+        active.join(new_users, "day", "left")
+        .join(cum, "day")
+        .select(
+            "day",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+            "n_cum",
+        )
+    )

@@ -137,4 +137,6 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import ingest  # noqa: F401  (round 3, appended)
 
+    from .operators import pipeline26  # noqa: F401  (round 3, appended)
+
     return dict(_REGISTRY)
