@@ -278,6 +278,9 @@ _BNLJ_ALLOWED = {
     # round 3z/3aa scalar broadcasts: confusion-matrix overall totals, the
     # PCA Rayleigh/max-abs report rows
     "langid_confusion_matrix", "embedding_pca_power_iter",
+    # round 3cc: 16-row constant centroid broadcasts per Lloyd round; the
+    # day-level cumulative theta join (|days| micro-table, survival shape)
+    "kmeans_lloyd_rounds", "user_growth_curve",
 }
 
 
