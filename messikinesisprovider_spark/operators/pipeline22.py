@@ -135,8 +135,11 @@ def dedup_containment_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s.doc_id").alias("a"), F.col("t.doc_id").alias("b"))
         .agg(F.count(F.lit(1)).alias("n_match"))
     )
+    # `sized` is one row PER DOCUMENT — unbounded in corpus size, so it must
+    # not carry a broadcast hint (AQE picks broadcast at test scale and a
+    # shuffled join at warehouse scale on its own).
     est = (
-        m.join(F.broadcast(sized.withColumnRenamed("doc_id", "a")), "a")
+        m.join(sized.withColumnRenamed("doc_id", "a"), "a")
         .withColumn("k_eff", F.least(F.lit(CONT_K), F.col("n_toks")))
         .filter(F.expr(f"(1000 * n_match) div k_eff >= {_PRE_PM}"))
         .select("a", "b")
@@ -150,7 +153,7 @@ def dedup_containment_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     out = (
-        inter.join(F.broadcast(sized.withColumnRenamed("doc_id", "a")), "a")
+        inter.join(sized.withColumnRenamed("doc_id", "a"), "a")
         .filter(F.expr(f"(1000 * n_common) div n_toks >= {CONT_THRESH_PM}"))
         .select(
             F.col("a").alias("contained_doc"),

@@ -174,17 +174,30 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             sub_dist.cast("decimal(18,6)").alias("pd"),
         )
     )
+    # Both sides derive from corpus_slices/codebook, so a bare `lut.s ==
+    # enc.s` has shared lineage (resolves only via dataset-id self-join
+    # disambiguation). Explicit aliases make the join condition unambiguous
+    # under refactoring.
     adc = (
-        enc.join(F.broadcast(lut), (lut.s == enc.s) & (lut.j == enc.code))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        enc.alias("enc")
+        .join(
+            F.broadcast(lut.alias("lut")),
+            (F.col("lut.s") == F.col("enc.s")) & (F.col("lut.j") == F.col("enc.code")),
+        )
+        .filter(F.col("enc.vec_id") != F.col("lut.query_id"))
+        .groupBy(F.col("lut.query_id").alias("query_id"), F.col("enc.vec_id").alias("cand_id"))
         .agg(F.sum("pd").alias("adc_dist"))
     )
     cands = adc.withColumn(
         "adc_rank",
         F.row_number().over(W.partitionBy("query_id").orderBy("adc_dist", "cand_id")),
     ).filter(F.col("adc_rank") <= PQ_RERANK)
-    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # Only the N_QUERIES query vectors can ever match the rerank join —
+    # filter BEFORE broadcasting so the broadcast side is bounded by the
+    # query count, not the corpus size.
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     x = e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("xv"))
     l2 = F.round(
         F.expr(

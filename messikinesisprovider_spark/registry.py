@@ -139,4 +139,47 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import pipeline26  # noqa: F401  (round 3, appended)
 
-    return dict(_REGISTRY)
+    from .operators import graphshared  # noqa: F401  (round 4, appended)
+
+    # Driver-coverage rotation (round 4): the driver's correctness harness
+    # executes the FIRST 50 registry entries each round, so for three rounds
+    # the same 50 queries were driver-checked while the other ~170 had only
+    # the local parity harness.  Reorder so `flagship_events_last_day` stays
+    # first (entry() depends on it), then every query that has NEVER had a
+    # driver-green row (in insertion order), then the already-checked set.
+    # Semantics of each spec are untouched — this is coverage scheduling.
+    checked = _DRIVER_CHECKED_ROUNDS_1_3
+    ordered: dict[str, QuerySpec] = {}
+    if "flagship_events_last_day" in _REGISTRY:
+        ordered["flagship_events_last_day"] = _REGISTRY["flagship_events_last_day"]
+    for name, spec in _REGISTRY.items():
+        if name not in checked and name not in ordered:
+            ordered[name] = spec
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
+
+
+# Names with a driver-side CORRECTNESS row in rounds 1-3 (union of
+# CORRECTNESS_r01..r03.json keys). Kept literal so the rotation is stable
+# and reviewable; extend after each round that adds driver-checked names.
+_DRIVER_CHECKED_ROUNDS_1_3 = frozenset({
+    "approx_count_distinct", "array_agg_sorted", "asof_join_last_click",
+    "conditional_agg", "correlated_in_subquery", "cube_agg", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "distinct_count", "distinct_rows",
+    "dropduplicates_keyed", "filter_project", "flagship_events_last_day",
+    "grouped_user_features", "grouping_sets", "having_clause", "intersect_op",
+    "interval_self_join", "join_anti", "join_broadcast",
+    "join_bucketed_colocated", "join_left_outer", "join_multiway",
+    "join_range_nonequi", "join_semi", "json_extract", "multimodal_binary_meta",
+    "multimodal_decode_pipeline", "null_handling", "pivot_wide",
+    "pricing_summary", "rollup_agg", "scalar_string_date", "scalar_subquery",
+    "sessionize_gaps", "set_operations", "sort_limit_topk",
+    "text_hashed_embedding_pool", "time_bucket_tumbling",
+    "tpch_q10_returned_items", "tpch_q3_shipping_priority",
+    "union_by_name_dedup", "user_features_builtin", "window_navigation",
+    "window_range_frame", "window_rank_dense_ntile", "window_running_frame",
+    "window_topk_per_group",
+})

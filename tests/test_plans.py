@@ -175,10 +175,21 @@ def test_timeseries_windows_partition_by_key(spark):
 def test_copurchase_apriori_side_broadcasts(spark):
     # the frequent-item list and the basket-width list are both orders of
     # magnitude smaller than lineitem: they must broadcast, and the only
-    # SortMergeJoin allowed is the orderkey-aligned pair self-join
-    plan = inspect.physical_plan(q(spark, "copurchase_pairs"))
+    # SortMergeJoin allowed is the orderkey-aligned pair self-join.
+    # (round 4: the registered query reads the materialized shared table,
+    # so the mining-shape pins move to the mining function itself)
+    from messikinesisprovider_spark.operators.graphshared import (
+        mine_copurchase_pairs,
+    )
+
+    mined = mine_copurchase_pairs(spark, SF)
+    plan = inspect.physical_plan(mined)
     assert plan.count("BroadcastHashJoin") >= 1
-    assert inspect.partial_aggregate_count(q(spark, "copurchase_pairs")) >= 2
+    assert inspect.partial_aggregate_count(mined) >= 2
+    # the registered query itself must be a bare scan of the materialized
+    # bucketed table — no re-mining join anywhere in its plan
+    reader_plan = inspect.physical_plan(q(spark, "copurchase_pairs"))
+    assert "Join" not in reader_plan
 
 
 def test_funnel_stage_filters_push_to_scan(spark):
