@@ -117,7 +117,19 @@ class MessiCursor:
         )
 
     @staticmethod
-    def from_checkpoint(payload: str) -> "MessiCursor":
+    def from_checkpoint(payload: str, strict: bool = True) -> "MessiCursor":
+        """Deserialize a checkpoint.
+
+        strict=True (default): a corrupt payload raises CursorError —
+        fail-loud, because silently replaying the retention horizon is a
+        data-duplication event someone should page on.
+
+        strict=False: the reference's lossy-recovery contract
+        (FileBasedProgressTracker.java:128-143 — on an unreadable progress
+        file it WARNS and restarts from the oldest retained record). Opt-in
+        twin for deployments that prefer replay over an operator being
+        paged; emits the same warning the reference logs.
+        """
         try:
             doc = json.loads(payload)
             return MessiCursor.at_sequence(
@@ -126,6 +138,17 @@ class MessiCursor:
                 inclusive=bool(doc["inclusive"]),
             )
         except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
+            if not strict:
+                import warnings
+
+                warnings.warn(
+                    f"corrupt checkpoint {payload!r}: falling back to "
+                    "OLDEST_RETAINED (records may replay; consumers must "
+                    "dedup by ULID)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                return MessiCursor.oldest()
             raise CursorError(f"corrupt checkpoint: {payload!r}") from e
 
     # -- total order within (shard, AT_PROVIDER_SEQUENCE) -------------------

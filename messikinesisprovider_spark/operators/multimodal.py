@@ -6,14 +6,24 @@ which is exactly how a multimodal training pipeline treats image/audio/video:
 bytes + metadata columns, decoded only inside vectorized UDF stages.
 
 This module makes the Spark-side plumbing real — schema, Arrow batching,
-mapInPandas signatures, partition shape — while the actual media decode is a
-deterministic STUB (the container has no image/audio libs). `decode_image_meta`
-parses a tiny fake header we synthesize; a real deployment swaps `_decode_one`
-for PIL/ffmpeg without touching the plan.
+mapInPandas signatures, partition shape. The decode step handles, in order:
+
+1. the synthetic FIMG container (the deterministic oracle format every
+   registered query uses — parity needs a decode DuckDB can replicate),
+2. genuine PNG (signature + IHDR parse, pure stdlib — real dims/channels
+   from real PNG bytes, no library needed),
+3. anything else via PIL when installed (import-gated like boto3 in
+   sources/kinesis.py — absent in this container, active in deployment),
+4. otherwise NotImplementedError → a decode_ok=False row.
+
+Audio mirrors it: the FAUD stub container plus genuine RIFF/WAVE decode
+through the stdlib `wave` module (real PCM samples → real RMS /
+zero-crossing features).
 """
 
 from __future__ import annotations
 
+import io
 import struct
 
 import numpy as np
@@ -26,6 +36,14 @@ from pyspark.sql import types as T
 
 from ..registry import register
 from .relational import spread, tbl
+
+try:  # pragma: no cover - exercised only with Pillow present
+    from PIL import Image as _PIL_Image  # type: ignore
+
+    HAVE_PIL = True
+except ImportError:  # pragma: no cover
+    _PIL_Image = None
+    HAVE_PIL = False
 
 
 @register(
@@ -85,18 +103,45 @@ def synthesize_image_column(d: DataFrame) -> DataFrame:
     )
 
 
-def _decode_one(buf: bytes):
-    """STUB decoder for the fake FIMG container.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (spec §11.2.2; palette indexes are 1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-    A real pipeline replaces this with PIL.Image.open / soundfile / pyav —
-    the surrounding mapInPandas plumbing (Arrow batches, schema, partitioning)
-    is identical. Raises on non-FIMG input by design.
+
+def _decode_one(buf: bytes):
+    """Decode one image payload to (format, width, height, channels, n_bytes).
+
+    FIMG (the synthetic oracle container) and genuine PNG decode with zero
+    dependencies; everything else goes through PIL when it's installed
+    (import-gated — see module doc). Raises NotImplementedError for bytes
+    nothing can decode; callers map that to a decode_ok=False row.
     """
-    if buf is None or len(buf) < 9 or buf[:4] != _MAGIC:
+    if buf is None or len(buf) < 9:
         raise NotImplementedError("real media decode not available in this container")
-    width, height = struct.unpack(">HH", buf[4:8])
-    channels = buf[8]
-    return "fimg", 1 + width % 2048, 1 + height % 2048, channels, len(buf)
+    if buf[:4] == _MAGIC:
+        width, height = struct.unpack(">HH", buf[4:8])
+        channels = buf[8]
+        return "fimg", 1 + width % 2048, 1 + height % 2048, channels, len(buf)
+    if buf[:8] == _PNG_SIG and len(buf) >= 33 and buf[12:16] == b"IHDR":
+        # IHDR is required first chunk: 8-byte sig, 4-byte len, 4-byte type,
+        # then u32be width, u32be height, u8 bit depth, u8 color type
+        width, height = struct.unpack(">II", buf[16:24])
+        channels = _PNG_CHANNELS.get(buf[25])
+        if channels is not None and width > 0 and height > 0:
+            return "png", width, height, channels, len(buf)
+    if _PIL_Image is not None:  # pragma: no cover - needs Pillow installed
+        try:
+            img = _PIL_Image.open(io.BytesIO(buf))
+            return (
+                (img.format or "img").lower(),
+                img.width,
+                img.height,
+                len(img.getbands()),
+                len(buf),
+            )
+        except Exception:
+            pass
+    raise NotImplementedError("real media decode not available in this container")
 
 
 def decode_image_meta(images: DataFrame) -> DataFrame:
@@ -279,14 +324,42 @@ def synthesize_audio_column(d: DataFrame, sample_rate: int = 16_000) -> DataFram
     )
 
 
+def _decode_wav(b: bytes):
+    """Genuine WAV decode via the stdlib `wave` module: returns
+    (sample_rate, mono float64 samples in [-1, 1]) or None if unparseable."""
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(b)) as w:
+            sr = w.getframerate()
+            n_frames = w.getnframes()
+            sw = w.getsampwidth()
+            nch = w.getnchannels()
+            raw = w.readframes(n_frames)
+    except Exception:
+        return None
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None or sr <= 0 or nch <= 0:
+        return None
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:  # 8-bit WAV is unsigned
+        samples = (samples - 128.0) / 128.0
+    else:
+        samples = samples / float(2 ** (8 * sw - 1))
+    if nch > 1:
+        samples = samples[: (len(samples) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    return sr, samples
+
+
 def extract_audio_features(audio: DataFrame) -> DataFrame:
     """mapInPandas feature-extract stage: binary audio → per-clip features.
 
-    The container parse is the honest stub (a real pipeline swaps in
-    soundfile/librosa); the FEATURE math — RMS energy and zero-crossing
-    rate — is real vectorized numpy over the decoded sample array, i.e. the
-    exact compute shape a production extractor has. Arrow-batched, no
-    shuffle, linear in partitions.
+    Decodes the FAUD stub container AND genuine RIFF/WAVE files (stdlib
+    `wave` module — real PCM frames, 8/16/32-bit, channels averaged); the
+    FEATURE math — RMS energy and zero-crossing rate — is real vectorized
+    numpy over the decoded sample array, i.e. the exact compute shape a
+    production extractor has. Arrow-batched, no shuffle, linear in
+    partitions.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -294,12 +367,19 @@ def extract_audio_features(audio: DataFrame) -> DataFrame:
             rows = []
             for doc_id, buf in zip(pdf["doc_id"], pdf["audio"]):
                 b = bytes(buf) if buf is not None else b""
-                if len(b) < 9 or b[:4] != _AUDIO_MAGIC:
+                if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    decoded = _decode_wav(b)
+                    if decoded is None:
+                        rows.append((doc_id, None, None, None, None, None, False))
+                        continue
+                    sr, samples = decoded
+                elif len(b) < 9 or b[:4] != _AUDIO_MAGIC:
                     rows.append((doc_id, None, None, None, None, None, False))
                     continue
-                sr = struct.unpack(">I", b[4:8])[0]
-                samples = np.frombuffer(b[8:], dtype=np.uint8).astype(np.float64)
-                samples = (samples - 128.0) / 128.0  # center 8-bit PCM
+                else:
+                    sr = struct.unpack(">I", b[4:8])[0]
+                    samples = np.frombuffer(b[8:], dtype=np.uint8).astype(np.float64)
+                    samples = (samples - 128.0) / 128.0  # center 8-bit PCM
                 n = len(samples)
                 rms = float(np.sqrt(np.mean(samples**2))) if n else 0.0
                 zc = (

@@ -7,6 +7,7 @@ import pytest
 
 from messikinesisprovider_spark.cursor import (
     CursorError,
+    CursorType,
     IncomparableCursor,
     MessiCursor,
 )
@@ -34,6 +35,21 @@ def test_corrupt_checkpoint_raises():
         MessiCursor.from_checkpoint("{not json")
     with pytest.raises(CursorError):
         MessiCursor.from_checkpoint('{"shardId": "0"}')
+
+
+def test_corrupt_checkpoint_lossy_fallback_opt_in():
+    """strict=False mirrors the reference's FileBasedProgressTracker
+    (java:128-143): warn + restart from OLDEST_RETAINED instead of raising.
+    A VALID checkpoint must still resume exactly, never fall back."""
+    with pytest.warns(RuntimeWarning, match="OLDEST_RETAINED"):
+        c = MessiCursor.from_checkpoint("{not json", strict=False)
+    assert c.type is CursorType.OLDEST_RETAINED
+    with pytest.warns(RuntimeWarning):
+        c2 = MessiCursor.from_checkpoint('{"shardId": "0"}', strict=False)
+    assert c2.type is CursorType.OLDEST_RETAINED
+    good = MessiCursor.at_sequence("3", 41, inclusive=False)
+    restored = MessiCursor.from_checkpoint(good.checkpoint(), strict=False)
+    assert restored == good
 
 
 def test_total_order_axioms():
