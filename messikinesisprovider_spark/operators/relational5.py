@@ -4,10 +4,11 @@ shapes that melt down first at 100 TB.
 - ``range_join_binned``: interval/range join WITHOUT an equi key. Spark's
   default plan for a pure range predicate is BroadcastNestedLoopJoin —
   O(|L|·|R|) comparisons. The scale pattern is interval binning: quantize
-  time into fixed-width bins, explode each interval onto the bins it covers
-  (here <= 2), equi-join on the bin, re-check the exact predicate as a
-  residual. Comparisons drop from |L|·|R| to sum-per-bin products, and the
-  join becomes a plain shuffled equi-join Catalyst can size with AQE.
+  time into fixed-width bins (width tuned BELOW the window — see
+  `_BIN_WIDTH`), explode each interval onto the bins it covers, equi-join
+  on the bin, re-check the exact predicate as a residual. Comparisons drop
+  from |L|·|R| to sum-per-bin products, and the join becomes a plain
+  shuffled equi-join Catalyst can size with AQE.
   (Same trick Databricks' range-join bin hints apply; here it is explicit
   and engine-independent.)
 - ``asof_join_nearest``: pandas ``merge_asof(direction='nearest',
@@ -37,7 +38,16 @@ from .relational import events_tbl, tbl
 # Binned range join (no equi key)
 # ---------------------------------------------------------------------------
 
-_BIN_DAYS = 7
+_BIN_DAYS = 7  # the query's range window (semantic — mirrored in the oracle)
+# Bin width DECOUPLED from the window (round 4): with width == window the
+# candidate set carries (window+width)/window = 2x the true pairs; and since
+# the date DOMAIN is fixed while row density grows with SF, candidate pairs
+# grow quadratically — so the overhead factor directly scales the 0.01->0.1
+# ratio. Measured sweep (min-of-3 per point): width 7 -> 4.87x ratio
+# (1.42 s at sf0.1), width 2 -> 2.63x (1.06 s), width 1 -> 2.12x (1.16 s).
+# Width 2 is the knee: candidates 9/7 = 1.29x of true pairs at ~4 bins per
+# left interval. tests/test_scaling_pins.py pins the ratio.
+_BIN_WIDTH = 2
 _EPOCH = "DATE '1992-01-01'"
 
 
@@ -61,27 +71,28 @@ def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each URGENT order, how many orders (any priority) were placed in
     the preceding 7 days. No shared key — the naive Spark plan is a
     BroadcastNestedLoopJoin over |urgent|·|orders| pairs. Binning by
-    7-day buckets turns it into an equi-join on the bin id: each left
-    interval [d-7, d) covers at most 2 bins, each right point exactly one,
-    so a (left, right) match is produced exactly once and the residual
-    predicate re-checks the exact range. test_plans pins the absence of
-    BroadcastNestedLoopJoin and equality with the naive theta join.
+    `_BIN_WIDTH`-day buckets turns it into an equi-join on the bin id: each
+    left interval [d-7, d) explodes onto the ~window/width+1 bins it covers,
+    each right point lands in exactly one, so a (left, right) match is
+    produced exactly once and the residual predicate re-checks the exact
+    range. test_plans pins the absence of BroadcastNestedLoopJoin and
+    equality with the naive theta join; the candidate-pair overhead factor
+    ((window + width) / window) is pinned by test_relational5's
+    candidate-accounting test.
     """
     o = tbl(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_orderdate").cast("date").alias("d"), "o_orderpriority"
     )
-    bin_of = lambda c: F.expr(f"datediff({c}, {_EPOCH}) div {_BIN_DAYS}")  # noqa: E731
+    bin_of = lambda c: F.expr(f"datediff({c}, {_EPOCH}) div {_BIN_WIDTH}")  # noqa: E731
     left = (
         o.filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey", "d")
         .withColumn(
             "bin",
             F.explode(
-                F.array_distinct(
-                    F.array(
-                        bin_of(f"d - INTERVAL {_BIN_DAYS} DAYS"),
-                        bin_of("d - INTERVAL 1 DAYS"),
-                    )
+                F.sequence(
+                    bin_of(f"d - INTERVAL {_BIN_DAYS} DAYS"),
+                    bin_of("d - INTERVAL 1 DAYS"),
                 )
             ),
         )

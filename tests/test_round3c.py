@@ -167,6 +167,40 @@ def test_range_join_binned_avoids_nested_loop_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_range_join_binned_candidate_overhead_bounded(spark):
+    """Round 4: bin width is tuned below the window so the equi-join's
+    candidate set stays close to the TRUE pair count — the factor that
+    scales quadratically with SF (fixed date domain, growing density).
+    Expected overhead = (window + width) / window; pin candidates within
+    1.5x of true pairs (headroom for bin-boundary granularity)."""
+    assert relational5._BIN_WIDTH < relational5._BIN_DAYS
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d"), "o_orderpriority"
+    )
+    left = o.filter(F.col("o_orderpriority") == "1-URGENT").alias("a")
+    right = o.alias("b")
+    true_pairs = left.join(
+        right,
+        (F.col("b.d") >= F.expr(f"a.d - INTERVAL {relational5._BIN_DAYS} DAYS"))
+        & (F.col("b.d") < F.col("a.d")),
+    ).count()
+    w, win, epoch = relational5._BIN_WIDTH, relational5._BIN_DAYS, relational5._EPOCH
+    bin_of = lambda c: F.expr(f"datediff({c}, {epoch}) div {w}")  # noqa: E731
+    lb = left.select(
+        "a.o_orderkey",
+        F.explode(
+            F.sequence(bin_of(f"a.d - INTERVAL {win} DAYS"), bin_of("a.d - INTERVAL 1 DAYS"))
+        ).alias("bin"),
+    )
+    rb = right.select(F.col("b.o_orderkey").alias("rk"), bin_of("b.d").alias("bin"))
+    candidates = lb.join(rb, "bin").count()
+    assert true_pairs > 0
+    assert candidates <= 1.5 * true_pairs, (
+        f"candidate overhead {candidates / true_pairs:.2f}x exceeds the "
+        f"theoretical ({win + w}/{win} = {(win + w) / win:.2f}x) + headroom bound"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Nearest as-of join
 # ---------------------------------------------------------------------------
