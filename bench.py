@@ -179,6 +179,12 @@ HEADLINE = [
     # round 4: integrity audit of the shared materialized co-purchase edge
     # table (the graph family now reads this instead of re-mining).
     "graph_edges_materialized",
+    # round 4: CSV round-trip (pinned dialect), deletion-cascade audit,
+    # per-dim feature scaling, windowed co-occurrence PMI.
+    "ingest_csv_documents",
+    "gdpr_delete_propagation",
+    "embedding_standardize",
+    "cooccur_window_pmi",
 ]
 
 

@@ -292,6 +292,9 @@ _BNLJ_ALLOWED = {
     # round 3cc: 16-row constant centroid broadcasts per Lloyd round; the
     # day-level cumulative theta join (|days| micro-table, survival shape)
     "kmeans_lloyd_rounds", "user_growth_curve",
+    # round 4: the windowed-PMI corpus total (1-row broadcast, the
+    # token_pmi_bigrams shape)
+    "cooccur_window_pmi",
 }
 
 
