@@ -185,6 +185,8 @@ HEADLINE = [
     "gdpr_delete_propagation",
     "embedding_standardize",
     "cooccur_window_pmi",
+    # round 4: the 3-pass watermark late-drop audit topology.
+    "streaming_late_drop_audit",
 ]
 
 

@@ -31,16 +31,24 @@ from ..cursor import CursorType, MessiCursor
 from ..schema import LOG_SCHEMA
 
 
-def stream_log(spark: SparkSession, root: str, cursor: MessiCursor | None = None) -> DataFrame:
+def stream_log(
+    spark: SparkSession,
+    root: str,
+    cursor: MessiCursor | None = None,
+    files_per_trigger: int = 64,
+) -> DataFrame:
     """readStream over a MessiLog directory, optionally positioned by cursor.
 
     NOW is the one cursor the file source expresses natively
     (`maxFilesPerTrigger` aside, latestFirst/startingOffsets semantics);
     the others become monotone stream filters — pushed into the scan.
+    `files_per_trigger` is the microbatch admission knob; topologies whose
+    semantics depend on pass == batch (watermark-boundary audits) raise it
+    so one availableNow pass is exactly one batch.
     """
     df = (
         spark.readStream.schema(LOG_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(root)
     )
     if cursor is None or cursor.type is CursorType.OLDEST_RETAINED:
