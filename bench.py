@@ -187,6 +187,10 @@ HEADLINE = [
     "cooccur_window_pmi",
     # round 4: the 3-pass watermark late-drop audit topology.
     "streaming_late_drop_audit",
+    # round 4: AGMS join-size sketch, one-pass threshold sweep, aggregate IVM.
+    "sketch_agms_join_size",
+    "threshold_sweep_quality",
+    "ivm_agg_maintenance",
 ]
 
 

@@ -295,6 +295,9 @@ _BNLJ_ALLOWED = {
     # round 4: the windowed-PMI corpus total (1-row broadcast, the
     # token_pmi_bigrams shape)
     "cooccur_window_pmi",
+    # round 4: 1-row scalar broadcasts — the AGMS exact-join-size ground
+    # truth row, and the IVM time-split bound
+    "sketch_agms_join_size", "ivm_agg_maintenance",
 }
 
 
