@@ -191,6 +191,9 @@ HEADLINE = [
     "sketch_agms_join_size",
     "threshold_sweep_quality",
     "ivm_agg_maintenance",
+    # round 4: compaction planning and frame-level multimodal dedup.
+    "small_file_compaction_plan",
+    "multimodal_frame_dedup",
 ]
 
 

@@ -298,6 +298,9 @@ _BNLJ_ALLOWED = {
     # round 4: 1-row scalar broadcasts — the AGMS exact-join-size ground
     # truth row, and the IVM time-split bound
     "sketch_agms_join_size", "ivm_agg_maintenance",
+    # round 4: day-level exclusive-running-sum theta join (|days|
+    # micro-table, the user_growth_curve shape)
+    "small_file_compaction_plan",
 }
 
 
