@@ -194,6 +194,10 @@ HEADLINE = [
     # round 4: compaction planning and frame-level multimodal dedup.
     "small_file_compaction_plan",
     "multimodal_frame_dedup",
+    # round 4: rolling WAU, zone-map audit, seasonal anomalies.
+    "rolling_active_users",
+    "data_skipping_minmax_audit",
+    "anomaly_seasonal_residual",
 ]
 
 

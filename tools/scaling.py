@@ -101,6 +101,21 @@ QUERIES = [
     "embedding_pca_power_iter",
     # round 3cc
     "kmeans_lloyd_rounds",
+    # round 4: shared-edge-table graph audit, format round-trips, deletion
+    # cascade, feature scaling, windowed PMI, join-size sketch, aggregate
+    # IVM, compaction planning, frame dedup
+    "graph_edges_materialized",
+    "ingest_csv_documents",
+    "gdpr_delete_propagation",
+    "embedding_standardize",
+    "cooccur_window_pmi",
+    "sketch_agms_join_size",
+    "ivm_agg_maintenance",
+    "small_file_compaction_plan",
+    "multimodal_frame_dedup",
+    "rolling_active_users",
+    "data_skipping_minmax_audit",
+    "anomaly_seasonal_residual",
 ]
 
 
