@@ -198,6 +198,8 @@ HEADLINE = [
     "rolling_active_users",
     "data_skipping_minmax_audit",
     "anomaly_seasonal_residual",
+    # round 4: bounded-state streaming dedup.
+    "streaming_dedup_within_watermark",
 ]
 
 
