@@ -200,6 +200,8 @@ HEADLINE = [
     "anomaly_seasonal_residual",
     # round 4: bounded-state streaming dedup.
     "streaming_dedup_within_watermark",
+    # round 4: the 3-round BPE trainer loop.
+    "bpe_train_rounds",
 ]
 
 

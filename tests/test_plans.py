@@ -301,6 +301,9 @@ _BNLJ_ALLOWED = {
     # round 4: day-level exclusive-running-sum theta join (|days|
     # micro-table, the user_growth_curve shape)
     "small_file_compaction_plan",
+    # round 4: per-round 1-row winning-pair broadcasts (the
+    # kmeans_lloyd_rounds shape in the text domain)
+    "bpe_train_rounds",
 }
 
 

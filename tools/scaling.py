@@ -116,6 +116,7 @@ QUERIES = [
     "rolling_active_users",
     "data_skipping_minmax_audit",
     "anomaly_seasonal_residual",
+    "bpe_train_rounds",
 ]
 
 
