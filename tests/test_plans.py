@@ -304,6 +304,10 @@ _BNLJ_ALLOWED = {
     # round 4: per-round 1-row winning-pair broadcasts (the
     # kmeans_lloyd_rounds shape in the text domain)
     "bpe_train_rounds",
+    # round 4: 1-row scalar broadcasts — the corpus max-date row (RFM
+    # recency anchor), the timeline-midpoint bound + 1-row global-moment
+    # row (CUPED theta)
+    "rfm_segmentation", "ab_test_cuped",
 }
 
 
