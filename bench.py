@@ -202,6 +202,19 @@ HEADLINE = [
     "streaming_dedup_within_watermark",
     # round 4: the 3-round BPE trainer loop.
     "bpe_train_rounds",
+    # round 4: XML + binary-object ingestion round-trips.
+    "ingest_xml_documents",
+    "ingest_binaryfile_media",
+    # round 4: RFM quartiles (two-pass rankings), CUPED A/B readout,
+    # NDCG@10 ranking eval.
+    "rfm_segmentation",
+    "ab_test_cuped",
+    "eval_ndcg_at_k",
+    # round 4: 3-round k-core peel on the shared edge table, kNN-graph
+    # build over LSH candidates, deterministic shard planning.
+    "graph_kcore_peel",
+    "knn_graph_build",
+    "corpus_shard_plan",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Python-reference tests for graph3 (k-core peel) and pipeline32
+(kNN-graph build, deterministic shard plan)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from messikinesisprovider_spark.operators.graph3 import (
+    _KCORE_K,
+    _KCORE_ROUNDS,
+    graph_kcore_peel,
+)
+from messikinesisprovider_spark.operators.pipeline3 import _PLANES
+from messikinesisprovider_spark.operators.pipeline32 import (
+    _KNN_K,
+    _N_SHARDS,
+    corpus_shard_plan,
+    knn_graph_build,
+)
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _mine_edges(sf: str) -> set[tuple[int, int]]:
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    op = li.drop_duplicates()
+    freq = op.groupby("l_partkey").size()
+    keep = set(freq[freq >= 2].index)
+    op = op[op["l_partkey"].isin(keep)]
+    pairs: dict[tuple[int, int], int] = {}
+    for _, grp in op.groupby("l_orderkey"):
+        parts = sorted(grp["l_partkey"])
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                key = (int(parts[i]), int(parts[j]))
+                pairs[key] = pairs.get(key, 0) + 1
+    return {k for k, n in pairs.items() if n >= 2}
+
+
+def _peel(edges: set[tuple[int, int]], k: int):
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    kept = {v for v, n in deg.items() if n >= k}
+    return kept, {(a, b) for a, b in edges if a in kept and b in kept}
+
+
+def test_kcore_matches_python_reference(spark):
+    out = {r["round"]: r for r in graph_kcore_peel(spark, SF).collect()}
+    edges = _mine_edges(SF)
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        kept, edges = _peel(edges, _KCORE_K)
+        assert out[rnd]["n_vertices"] == len(kept)
+        assert out[rnd]["n_edges"] == len(edges)
+        assert out[rnd]["v_checksum"] == sum(kept)
+
+
+def test_kcore_peels_monotonically_and_nonvacuously(spark):
+    """Survivors never grow round-over-round, and at sf0.01 the peel
+    actually removes vertices after round 1 (the fixture is non-vacuous)."""
+    rows = sorted(graph_kcore_peel(spark, SF01).collect(), key=lambda r: r["round"])
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_vertices"] <= prev["n_vertices"]
+        assert cur["n_edges"] <= prev["n_edges"]
+    assert rows[-1]["n_vertices"] < rows[0]["n_vertices"]
+
+
+def test_knn_graph_matches_numpy_reference(spark):
+    out = {}
+    for r in knn_graph_build(spark, SF).collect():
+        out.setdefault(r["vec_id"], []).append((r["rnk"], r["neighbor_id"], r["cos_sim"]))
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for _, r in emb.iterrows()}
+    nrm = {k: float(np.sqrt((v * v).sum())) for k, v in vecs.items()}
+    vecs = {k: v for k, v in vecs.items() if nrm[k] > 0}
+    planes = np.asarray(_PLANES, dtype=np.float64)
+    sig = {
+        k: sum(
+            (1 << b) for b in range(len(planes)) if float(planes[b] @ v) > 0
+        )
+        for k, v in vecs.items()
+    }
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for k, s in sig.items():
+        for c in range(4):
+            buckets.setdefault((c, (s >> (4 * c)) & 15), []).append(k)
+    cands: dict[int, set[int]] = {k: set() for k in vecs}
+    for members in buckets.values():
+        for a in members:
+            cands[a].update(m for m in members if m != a)
+    for k, cs in cands.items():
+        scored = sorted(
+            (
+                (
+                    -round(float(vecs[k] @ vecs[c]) / (nrm[k] * nrm[c]), 6),
+                    c,
+                )
+                for c in cs
+            ),
+        )[:_KNN_K]
+        expect = [(i + 1, c, -s) for i, (s, c) in enumerate(scored)]
+        assert out.get(k, []) == expect or (not expect and k not in out)
+
+
+def test_shard_plan_is_balanced_and_total_preserving(spark):
+    rows = corpus_shard_plan(spark, SF).collect()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == len(docs)
+    assert sum(r["id_checksum"] for r in rows) == int(docs["doc_id"].sum())
+    assert {r["shard"] for r in rows} <= set(range(_N_SHARDS))
+    # hash balance: no shard more than 3x the mean occupancy
+    mean = len(docs) / _N_SHARDS
+    assert max(r["n_docs"] for r in rows) <= 3 * mean
+    # determinism: one spot-checked doc lands where the python hash says
+    d0 = int(docs["doc_id"].iloc[0])
+    shard0 = _h60(f"{d0}|shard") % _N_SHARDS
+    assert any(r["shard"] == shard0 for r in rows)

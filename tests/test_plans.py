@@ -308,6 +308,9 @@ _BNLJ_ALLOWED = {
     # recency anchor), the timeline-midpoint bound + 1-row global-moment
     # row (CUPED theta)
     "rfm_segmentation", "ab_test_cuped",
+    # round 4: per-round 1-row survivor/edge report-row crossJoins
+    # (metadata-scale aggregates of the shrinking k-core edge set)
+    "graph_kcore_peel",
 }
 
 
