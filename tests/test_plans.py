@@ -311,6 +311,9 @@ _BNLJ_ALLOWED = {
     # round 4: per-round 1-row survivor/edge report-row crossJoins
     # (metadata-scale aggregates of the shrinking k-core edge set)
     "graph_kcore_peel",
+    # round 4: the 1-row corpus-size broadcast feeding the df cap and the
+    # scaled-integer idf (the bm25_topk shape)
+    "tfidf_topk_pairs",
 }
 
 
