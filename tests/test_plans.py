@@ -314,6 +314,10 @@ _BNLJ_ALLOWED = {
     # round 4: the 1-row corpus-size broadcast feeding the df cap and the
     # scaled-integer idf (the bm25_topk shape)
     "tfidf_topk_pairs",
+    # round 4: micro-table crosses of post-aggregation totals — the 3-row
+    # sensitive-value marginals + 1-row corpus total (t-closeness grid),
+    # the 1-row ECE numerator/denominator total
+    "t_closeness_audit", "eval_calibration_ece",
 }
 
 
