@@ -340,3 +340,14 @@ def test_no_cartesian_and_bnlj_only_where_sanctioned(spark):
             ), f"{name} plans an unsanctioned BroadcastNestedLoopJoin"
         checked += 1
     assert checked > 100
+
+
+def test_dpp_is_planned(spark):
+    """dpp_dim_filter_join's fact scan must carry a dynamic-pruning
+    partition filter — the plan property the query exists to demonstrate
+    (only matching day partitions are read at runtime)."""
+    from messikinesisprovider_spark.operators.pipeline35 import dpp_join_frame
+
+    out = dpp_join_frame(spark, SF)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
