@@ -215,6 +215,19 @@ HEADLINE = [
     "graph_kcore_peel",
     "knn_graph_build",
     "corpus_shard_plan",
+    # round 4: sparse TF-IDF pair join, pass@k eval, encoding audit.
+    "tfidf_topk_pairs",
+    "eval_pass_at_k",
+    "encoding_runlength_audit",
+    # round 4: hopping-window streaming topology.
+    "streaming_hopping_window",
+    # round 4: privacy trio completion, calibration, BPE encode.
+    "t_closeness_audit",
+    "eval_calibration_ece",
+    "bpe_encode_corpus",
+    # round 4: resize stage and the DPP dimension join.
+    "multimodal_resize_pipeline",
+    "dpp_dim_filter_join",
 ]
 
 

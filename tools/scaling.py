@@ -117,6 +117,25 @@ QUERIES = [
     "data_skipping_minmax_audit",
     "anomaly_seasonal_residual",
     "bpe_train_rounds",
+    # round 4 (continued): ingestion breadth, segmentation/experiment/
+    # ranking evals, graph peel + kNN graph + shard plan, sparse TF-IDF
+    # join, privacy trio completion, BPE encode, resize stage, DPP join
+    "ingest_xml_documents",
+    "ingest_binaryfile_media",
+    "rfm_segmentation",
+    "ab_test_cuped",
+    "eval_ndcg_at_k",
+    "graph_kcore_peel",
+    "knn_graph_build",
+    "corpus_shard_plan",
+    "tfidf_topk_pairs",
+    "eval_pass_at_k",
+    "encoding_runlength_audit",
+    "t_closeness_audit",
+    "eval_calibration_ece",
+    "bpe_encode_corpus",
+    "multimodal_resize_pipeline",
+    "dpp_dim_filter_join",
 ]
 
 
