@@ -228,6 +228,9 @@ HEADLINE = [
     # round 4: resize stage and the DPP dimension join.
     "multimodal_resize_pipeline",
     "dpp_dim_filter_join",
+    # round 4: XmR control chart and the mapInArrow digest stage.
+    "spc_control_chart",
+    "arrow_batch_hash",
 ]
 
 

@@ -136,6 +136,8 @@ QUERIES = [
     "bpe_encode_corpus",
     "multimodal_resize_pipeline",
     "dpp_dim_filter_join",
+    "spc_control_chart",
+    "arrow_batch_hash",
 ]
 
 
