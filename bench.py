@@ -231,6 +231,8 @@ HEADLINE = [
     # round 4: XmR control chart and the mapInArrow digest stage.
     "spc_control_chart",
     "arrow_batch_hash",
+    "variant_props_extract",
+    "pseudonymize_referential",
 ]
 
 

@@ -138,6 +138,8 @@ QUERIES = [
     "dpp_dim_filter_join",
     "spc_control_chart",
     "arrow_batch_hash",
+    "variant_props_extract",
+    "pseudonymize_referential",
 ]
 
 
