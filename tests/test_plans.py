@@ -318,6 +318,8 @@ _BNLJ_ALLOWED = {
     # sensitive-value marginals + 1-row corpus total (t-closeness grid),
     # the 1-row ECE numerator/denominator total
     "t_closeness_audit", "eval_calibration_ece",
+    # round 4: the 1-row max-key broadcast re-keying the RF1 insert batch
+    "tpch_rf_maintenance",
 }
 
 

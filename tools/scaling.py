@@ -140,6 +140,8 @@ QUERIES = [
     "arrow_batch_hash",
     "variant_props_extract",
     "pseudonymize_referential",
+    "tpch_rf_maintenance",
+    "schema_evolution_read",
 ]
 
 
