@@ -235,6 +235,7 @@ HEADLINE = [
     "pseudonymize_referential",
     "tpch_rf_maintenance",
     "schema_evolution_read",
+    "observed_metrics_audit",
 ]
 
 

@@ -142,6 +142,7 @@ QUERIES = [
     "pseudonymize_referential",
     "tpch_rf_maintenance",
     "schema_evolution_read",
+    "observed_metrics_audit",
 ]
 
 
