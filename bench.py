@@ -236,6 +236,7 @@ HEADLINE = [
     "tpch_rf_maintenance",
     "schema_evolution_read",
     "observed_metrics_audit",
+    "interval_union_coverage",
 ]
 
 

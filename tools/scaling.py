@@ -143,6 +143,7 @@ QUERIES = [
     "tpch_rf_maintenance",
     "schema_evolution_read",
     "observed_metrics_audit",
+    "interval_union_coverage",
 ]
 
 
