@@ -237,6 +237,7 @@ HEADLINE = [
     "schema_evolution_read",
     "observed_metrics_audit",
     "interval_union_coverage",
+    "cogroup_order_reconcile",
 ]
 
 

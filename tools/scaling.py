@@ -144,6 +144,7 @@ QUERIES = [
     "schema_evolution_read",
     "observed_metrics_audit",
     "interval_union_coverage",
+    "cogroup_order_reconcile",
 ]
 
 
