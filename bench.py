@@ -238,6 +238,20 @@ HEADLINE = [
     "observed_metrics_audit",
     "interval_union_coverage",
     "cogroup_order_reconcile",
+    # round 4: new relational-surface families (recursive CTE, LATERAL,
+    # timezone-local rollup).
+    "recursive_cte_bom",
+    "lateral_topk_join",
+    "tz_local_activity",
+    # round 4: spatial grid NN, exact PAV calibration, weighted SSSP over
+    # the shared edge table.
+    "geo_grid_knn",
+    "isotonic_calibration_pav",
+    "graph_sssp_bounded",
+    # round 4: GBDT split finder, weighted median, quota apportionment.
+    "tree_split_histogram",
+    "weighted_median_exact",
+    "apportion_largest_remainder",
 ]
 
 

@@ -1,0 +1,128 @@
+"""Python references for pipeline43 (round 4): grid spatial NN, PAV
+isotonic calibration, bounded weighted shortest paths."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import pandas as pd
+
+from messikinesisprovider_spark.operators import pipeline43
+
+SF = "/root/testdata/sf0.001"
+
+
+def h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_geo_grid_knn_matches_python(spark):
+    got = {
+        r["point_id"]: (r["neighbor_id"], r["dist2"])
+        for r in pipeline43.geo_grid_knn(spark, SF).collect()
+    }
+    cust = pd.read_parquet(f"{SF}/customer.parquet")["c_custkey"].tolist()
+    dom, cell = pipeline43._GRID_DOMAIN, pipeline43._GRID_CELL
+    pts = {c: (h60(f"x|{c}") % dom, h60(f"y|{c}") % dom) for c in cust}
+    by_cell = defaultdict(list)
+    for c, (x, y) in pts.items():
+        by_cell[(x // cell, y // cell)].append(c)
+    expect = {}
+    for c, (x, y) in pts.items():
+        cx, cy = x // cell, y // cell
+        best = None
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for n in by_cell.get((cx + dx, cy + dy), []):
+                    if n == c:
+                        continue
+                    nx, ny = pts[n]
+                    d2 = (x - nx) ** 2 + (y - ny) ** 2
+                    key = (d2, n)
+                    if best is None or key < best:
+                        best = key
+        if best is not None:
+            expect[c] = (best[1], best[0])
+    assert got == expect
+    # non-vacuous: most points must have an in-neighborhood neighbor
+    assert len(got) > len(cust) * 0.5
+
+
+def _pav(rates_tot):
+    """Classic pool-adjacent-violators on (pos, tot) blocks in bin order."""
+    blocks = [[pos, tot, [b]] for b, (pos, tot) in rates_tot]
+    i = 0
+    while i < len(blocks) - 1:
+        a, b = blocks[i], blocks[i + 1]
+        if a[0] * b[1] > b[0] * a[1]:  # rate(a) > rate(b): pool
+            a[0] += b[0]
+            a[1] += b[1]
+            a[2] += b[2]
+            del blocks[i + 1]
+            if i:
+                i -= 1
+        else:
+            i += 1
+    out = {}
+    for pos, tot, bs in blocks:
+        for b in bs:
+            out[b] = pos / tot
+    return out
+
+
+def test_isotonic_pav_matches_classic_pooling(spark):
+    rows = sorted(
+        pipeline43.isotonic_calibration_pav(spark, SF).collect(), key=lambda r: r["bin"]
+    )
+    pooled = _pav([(r["bin"], (r["n_pos"], r["n_events"])) for r in rows])
+    for r in rows:
+        assert abs(r["iso_rate"] - pooled[r["bin"]]) < 1e-12, r
+    # monotone non-decreasing, and pooling actually fired somewhere
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)
+    raw = [r["rate"] for r in rows]
+    assert raw != sorted(raw), "fixture has no adjacent violation — vacuous"
+    # raw positive rate tracks the hash construction: P(y=1 | s) ~ s/1000
+    hi = [r for r in rows if r["bin"] >= 24]
+    lo = [r for r in rows if r["bin"] < 8]
+    assert sum(r["rate"] for r in hi) / len(hi) > sum(r["rate"] for r in lo) / len(lo)
+
+
+def test_graph_sssp_matches_python_bellman_ford(spark):
+    got = {r["dist"]: (r["n_nodes"], r["node_checksum"])
+           for r in pipeline43.graph_sssp_bounded(spark, SF).collect()}
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]].drop_duplicates()
+    per_order = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        per_order[o].add(p)
+    support = defaultdict(int)
+    for parts in per_order.values():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                support[(ps[i], ps[j])] += 1
+    und = {e for e, n in support.items() if n >= 2}
+    edges = defaultdict(list)
+    for a, b in und:
+        w = h60(f"w|{a}|{b}") % 9 + 1
+        edges[a].append((b, w))
+        edges[b].append((a, w))
+    deg = {p: len(ns) for p, ns in edges.items()}
+    seeds = sorted(deg, key=lambda p: (-deg[p], p))[: pipeline43._SSSP_SEEDS]
+    dist = {s: 0 for s in seeds}
+    for _ in range(pipeline43._SSSP_ROUNDS):
+        nxt = dict(dist)
+        for node, d in dist.items():
+            for n, w in edges[node]:
+                if n not in nxt or d + w < nxt[n]:
+                    nxt[n] = d + w
+        dist = nxt
+    expect = defaultdict(lambda: [0, 0])
+    for node, d in dist.items():
+        expect[d][0] += 1
+        expect[d][1] += node
+    assert got == {d: tuple(v) for d, v in expect.items()}
+    # seeds stay at distance 0; relaxation reached beyond the seed set
+    assert got[0][0] == pipeline43._SSSP_SEEDS
+    assert sum(n for n, _ in got.values()) > pipeline43._SSSP_SEEDS

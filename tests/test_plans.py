@@ -304,6 +304,12 @@ _BNLJ_ALLOWED = {
     # round 4: per-round 1-row winning-pair broadcasts (the
     # kmeans_lloyd_rounds shape in the text domain)
     "bpe_train_rounds",
+    # round 4: PAV minimax on the 32-row bin table — theta joins bounded
+    # by the BIN DOMAIN squared (the user_growth_curve micro-table class)
+    "isotonic_calibration_pav",
+    # round 4: 1-row best-threshold broadcast (tree split argmax) and the
+    # |sources| micro-table remainder-rank theta join + 1-row totals
+    "tree_split_histogram", "apportion_largest_remainder",
     # round 4: 1-row scalar broadcasts — the corpus max-date row (RFM
     # recency anchor), the timeline-midpoint bound + 1-row global-moment
     # row (CUPED theta)
