@@ -252,6 +252,10 @@ HEADLINE = [
     "tree_split_histogram",
     "weighted_median_exact",
     "apportion_largest_remainder",
+    # round 4: DiD readout, Benford audit, robust means.
+    "diff_in_diff_estimate",
+    "benford_first_digit_audit",
+    "winsorized_trimmed_mean",
 ]
 
 

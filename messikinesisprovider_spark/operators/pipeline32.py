@@ -92,6 +92,10 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
         ).alias("nrm"),
     ).filter(F.col("nrm") > 0)
+    # Persist the normalized vectors: the signature scan and BOTH sides of
+    # the rescore join re-read them (3 passes over the transform otherwise).
+    # At warehouse scale this is the materialized normalized-embedding table.
+    e = e.persist()
     sigs = e.select("vec_id", F.expr(_sig_expr_spark()).alias("sig"))
     chunks = sigs.select(
         "vec_id",

@@ -310,6 +310,8 @@ _BNLJ_ALLOWED = {
     # round 4: 1-row best-threshold broadcast (tree split argmax) and the
     # |sources| micro-table remainder-rank theta join + 1-row totals
     "tree_split_histogram", "apportion_largest_remainder",
+    # round 4: 1-row digit-total broadcast (Benford chi-square shares)
+    "benford_first_digit_audit",
     # round 4: 1-row scalar broadcasts — the corpus max-date row (RFM
     # recency anchor), the timeline-midpoint bound + 1-row global-moment
     # row (CUPED theta)
