@@ -256,6 +256,10 @@ HEADLINE = [
     "diff_in_diff_estimate",
     "benford_first_digit_audit",
     "winsorized_trimmed_mean",
+    # round 4: time-series trio (OHLC bars, TWAP, Lindley floored balance).
+    "ohlc_candlestick_daily",
+    "twap_time_weighted_value",
+    "running_balance_floor",
 ]
 
 
