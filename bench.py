@@ -260,6 +260,10 @@ HEADLINE = [
     "ohlc_candlestick_daily",
     "twap_time_weighted_value",
     "running_balance_floor",
+    # round 4: bag set-ops, T5 span corruption, URL canonicalization.
+    "bag_set_ops_all",
+    "span_corruption_masking",
+    "url_canonicalize_dedup",
 ]
 
 
