@@ -264,6 +264,9 @@ HEADLINE = [
     "bag_set_ops_all",
     "span_corruption_masking",
     "url_canonicalize_dedup",
+    # round 4: malformed-record quarantine, late-arriving dimension.
+    "ingest_jsonl_quarantine",
+    "late_arriving_dim_resolution",
 ]
 
 
