@@ -51,23 +51,41 @@ from .relational import events_tbl, tbl
 # ---------------------------------------------------------------------------
 
 _GRID_DOMAIN = 10_000  # coordinates in [0, 10000)
-_GRID_CELL = 500  # 20 x 20 cells
+_GRID_OCCUPANCY = 2  # target points per cell — keeps candidates O(n)
+
+# Density-adaptive cell width, derived IN-PLAN from COUNT(*) with the
+# identical arithmetic in both engines (sqrt of an exact integer ratio is
+# one correctly-rounded IEEE op; FLOOR/GREATEST/integer-DIV are exact):
+# a FIXED grid makes occupancy — and the 3x3 candidate set — grow
+# linearly with n, which the sf0.01->sf0.1 probe measured as a 7x
+# runtime ratio; adaptive width pins occupancy ~constant so candidates
+# stay O(n).
+_W_DUCK = (
+    f"GREATEST(1, {_GRID_DOMAIN} // GREATEST(1, "
+    f"CAST(FLOOR(SQRT(CAST(n AS DOUBLE) / {_GRID_OCCUPANCY})) AS BIGINT)))"
+)
+_W_SPARK = (
+    f"GREATEST(1, {_GRID_DOMAIN} DIV GREATEST(1, "
+    f"CAST(FLOOR(SQRT(CAST(n AS DOUBLE) / {_GRID_OCCUPANCY})) AS BIGINT)))"
+)
 
 
 def _geo_oracle() -> str:
     hx = h60_duck("'x|' || CAST(c_custkey AS VARCHAR)")
     hy = h60_duck("'y|' || CAST(c_custkey AS VARCHAR)")
     return f"""
-WITH pts AS (
+WITH pts0 AS (
   SELECT c_custkey AS id,
          {hx} % {_GRID_DOMAIN} AS x,
          {hy} % {_GRID_DOMAIN} AS y
   FROM customer
 ),
+wid AS (SELECT {_W_DUCK} AS w FROM (SELECT COUNT(*) AS n FROM pts0)),
+pts AS (SELECT p.*, wid.w FROM pts0 p CROSS JOIN wid),
 probe AS (
-  SELECT p.id, p.x, p.y,
-         (p.x // {_GRID_CELL}) + dx.d AS cx,
-         (p.y // {_GRID_CELL}) + dy.d AS cy
+  SELECT p.id, p.x, p.y, p.w,
+         (p.x // p.w) + dx.d AS cx,
+         (p.y // p.w) + dy.d AS cy
   FROM pts p
   CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS d) dx
   CROSS JOIN (SELECT UNNEST([-1, 0, 1]) AS d) dy
@@ -76,7 +94,7 @@ cand AS (
   SELECT pr.id, b.id AS nid,
          (pr.x - b.x) * (pr.x - b.x) + (pr.y - b.y) * (pr.y - b.y) AS d2
   FROM probe pr
-  JOIN pts b ON b.x // {_GRID_CELL} = pr.cx AND b.y // {_GRID_CELL} = pr.cy
+  JOIN pts b ON b.x // b.w = pr.cx AND b.y // b.w = pr.cy
             AND b.id <> pr.id
 )
 SELECT id AS point_id, nid AS neighbor_id, CAST(d2 AS BIGINT) AS dist2
@@ -90,40 +108,43 @@ WHERE rn = 1
     "geo_grid_knn",
     oracle=_geo_oracle(),
     description="Spatial grid nearest-neighbor join: integer coordinates "
-    "from the portable hash, 3x3 cell-neighborhood probe (x9 map-side "
-    "replication, equi-join on cell id), per-point nearest by exact "
-    "squared distance — the distributed spatial-join decomposition; "
-    "grid-local semantics so the oracle replicates the candidate set",
+    "from the portable hash, density-ADAPTIVE cell width derived in-plan "
+    "from COUNT (occupancy pinned ~2 so candidates stay O(n)), 3x3 "
+    "cell-neighborhood probe (x9 map-side replication, equi-join on cell "
+    "id), per-point nearest by exact squared distance; grid-local "
+    "semantics so the oracle replicates the candidate set",
     tags=("spatial", "join", "similarity", "extension"),
 )
 def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-partitioned spatial NN (see module doc). Scale: replication is
-    a constant x9 on the probe side only; cell width is chosen from point
-    density (here fixed for determinism), candidates stay
-    O(points x occupancy); the refine window partitions on point id."""
-    pts = tbl(spark, sf_dir, "customer").select(
+    a constant x9 on the probe side only; cell width adapts to point
+    density in-plan (1-row COUNT broadcast), so candidates stay
+    O(points x target occupancy); the refine window partitions on id."""
+    pts0 = tbl(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         F.expr(h60_spark("'x|' || CAST(c_custkey AS STRING)") + f" % {_GRID_DOMAIN}").alias("x"),
         F.expr(h60_spark("'y|' || CAST(c_custkey AS STRING)") + f" % {_GRID_DOMAIN}").alias("y"),
     )
+    wid = pts0.agg(F.count(F.lit(1)).alias("n")).select(F.expr(_W_SPARK).alias("w"))
+    pts = pts0.crossJoin(F.broadcast(wid))
     off = F.array(F.lit(-1), F.lit(0), F.lit(1))
     probe = (
-        pts.select("id", "x", "y", F.explode(off).alias("dx"))
-        .select("id", "x", "y", "dx", F.explode(off).alias("dy"))
+        pts.select("id", "x", "y", "w", F.explode(off).alias("dx"))
+        .select("id", "x", "y", "w", "dx", F.explode(off).alias("dy"))
         .select(
             "id",
             "x",
             "y",
-            (F.expr(f"x DIV {_GRID_CELL}") + F.col("dx")).alias("cx"),
-            (F.expr(f"y DIV {_GRID_CELL}") + F.col("dy")).alias("cy"),
+            (F.expr("x DIV w") + F.col("dx")).alias("cx"),
+            (F.expr("y DIV w") + F.col("dy")).alias("cy"),
         )
     )
     build = pts.select(
         F.col("id").alias("nid"),
         F.col("x").alias("bx"),
         F.col("y").alias("by"),
-        F.expr(f"x DIV {_GRID_CELL}").alias("cx"),
-        F.expr(f"y DIV {_GRID_CELL}").alias("cy"),
+        F.expr("x DIV w").alias("cx"),
+        F.expr("y DIV w").alias("cy"),
     )
     cand = (
         probe.join(build, ["cx", "cy"])

@@ -23,7 +23,13 @@ def test_geo_grid_knn_matches_python(spark):
         for r in pipeline43.geo_grid_knn(spark, SF).collect()
     }
     cust = pd.read_parquet(f"{SF}/customer.parquet")["c_custkey"].tolist()
-    dom, cell = pipeline43._GRID_DOMAIN, pipeline43._GRID_CELL
+    dom = pipeline43._GRID_DOMAIN
+    import math
+
+    cell = max(
+        1,
+        dom // max(1, math.floor(math.sqrt(len(cust) / pipeline43._GRID_OCCUPANCY))),
+    )
     pts = {c: (h60(f"x|{c}") % dom, h60(f"y|{c}") % dom) for c in cust}
     by_cell = defaultdict(list)
     for c, (x, y) in pts.items():

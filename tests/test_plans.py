@@ -312,6 +312,8 @@ _BNLJ_ALLOWED = {
     "tree_split_histogram", "apportion_largest_remainder",
     # round 4: 1-row digit-total broadcast (Benford chi-square shares)
     "benford_first_digit_audit",
+    # round 4: 1-row adaptive-cell-width broadcast (spatial grid join)
+    "geo_grid_knn",
     # round 4: 1-row scalar broadcasts — the corpus max-date row (RFM
     # recency anchor), the timeline-midpoint bound + 1-row global-moment
     # row (CUPED theta)
