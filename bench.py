@@ -267,6 +267,10 @@ HEADLINE = [
     # round 4: malformed-record quarantine, late-arriving dimension.
     "ingest_jsonl_quarantine",
     "late_arriving_dim_resolution",
+    # round 4: quantile normalization, business days, null-safe join.
+    "quantile_bucket_normalize",
+    "business_days_ship_delay",
+    "null_safe_key_join",
 ]
 
 

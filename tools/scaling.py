@@ -167,6 +167,9 @@ QUERIES = [
     "url_canonicalize_dedup",
     "ingest_jsonl_quarantine",
     "late_arriving_dim_resolution",
+    "quantile_bucket_normalize",
+    "business_days_ship_delay",
+    "null_safe_key_join",
 ]
 
 
