@@ -271,6 +271,9 @@ HEADLINE = [
     "quantile_bucket_normalize",
     "business_days_ship_delay",
     "null_safe_key_join",
+    # round 4: exact KS drift and deterministic bootstrap.
+    "ks_test_drift_exact",
+    "bootstrap_mean_ci_hash",
 ]
 
 

@@ -314,6 +314,8 @@ _BNLJ_ALLOWED = {
     "benford_first_digit_audit",
     # round 4: 1-row adaptive-cell-width broadcast (spatial grid join)
     "geo_grid_knn",
+    # round 4: 1-row group-total broadcast (KS integer cross-product form)
+    "ks_test_drift_exact",
     # round 4: 1-row scalar broadcasts — the corpus max-date row (RFM
     # recency anchor), the timeline-midpoint bound + 1-row global-moment
     # row (CUPED theta)

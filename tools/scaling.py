@@ -170,6 +170,8 @@ QUERIES = [
     "quantile_bucket_normalize",
     "business_days_ship_delay",
     "null_safe_key_join",
+    "ks_test_drift_exact",
+    "bootstrap_mean_ci_hash",
 ]
 
 
