@@ -274,6 +274,9 @@ HEADLINE = [
     # round 4: exact KS drift and deterministic bootstrap.
     "ks_test_drift_exact",
     "bootstrap_mean_ci_hash",
+    # round 4: FIFO lot matching and DBSCAN core points.
+    "fifo_lot_matching",
+    "dbscan_core_points",
 ]
 
 

@@ -316,6 +316,8 @@ _BNLJ_ALLOWED = {
     "geo_grid_knn",
     # round 4: 1-row group-total broadcast (KS integer cross-product form)
     "ks_test_drift_exact",
+    # round 4: 1-row adaptive-eps broadcast (DBSCAN core-point grid)
+    "dbscan_core_points",
     # round 4: 1-row scalar broadcasts — the corpus max-date row (RFM
     # recency anchor), the timeline-midpoint bound + 1-row global-moment
     # row (CUPED theta)

@@ -172,6 +172,8 @@ QUERIES = [
     "null_safe_key_join",
     "ks_test_drift_exact",
     "bootstrap_mean_ci_hash",
+    "fifo_lot_matching",
+    "dbscan_core_points",
 ]
 
 

@@ -159,6 +159,37 @@ SHOW = [
     "observed_metrics_audit",
     "interval_union_coverage",
     "cogroup_order_reconcile",
+    # round 4 (continued session): recursive CTE (UnionLoop), decorrelated
+    # LATERAL (one ranking window, no per-row re-execution), adaptive-grid
+    # spatial join, PAV micro-table minimax, shared-edge SSSP, split
+    # finder histogram, two-pass KS cumulative, null-safe hash join
+    "recursive_cte_bom",
+    "lateral_topk_join",
+    "tz_local_activity",
+    "geo_grid_knn",
+    "isotonic_calibration_pav",
+    "graph_sssp_bounded",
+    "tree_split_histogram",
+    "weighted_median_exact",
+    "apportion_largest_remainder",
+    "diff_in_diff_estimate",
+    "benford_first_digit_audit",
+    "winsorized_trimmed_mean",
+    "ohlc_candlestick_daily",
+    "twap_time_weighted_value",
+    "running_balance_floor",
+    "bag_set_ops_all",
+    "span_corruption_masking",
+    "url_canonicalize_dedup",
+    "ingest_jsonl_quarantine",
+    "late_arriving_dim_resolution",
+    "quantile_bucket_normalize",
+    "business_days_ship_delay",
+    "null_safe_key_join",
+    "ks_test_drift_exact",
+    "bootstrap_mean_ci_hash",
+    "fifo_lot_matching",
+    "dbscan_core_points",
 ]
 
 
