@@ -205,6 +205,8 @@ def all_specs() -> dict[str, QuerySpec]:
 
     from .operators import pipeline51  # noqa: F401  (round 4, appended)
 
+    from .streaming import verified11 as _verified11  # noqa: F401  (round 4, appended)
+
     # Driver-coverage rotation (round 4): the driver's correctness harness
     # executes the FIRST 50 registry entries each round, so for three rounds
     # the same 50 queries were driver-checked while the other ~170 had only
