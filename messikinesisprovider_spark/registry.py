@@ -206,6 +206,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import pipeline51  # noqa: F401  (round 4, appended)
     from .operators import pipeline52  # noqa: F401  (round 4, appended)
     from .operators import pipeline53  # noqa: F401  (round 4, appended)
+    from .operators import pipeline54  # noqa: F401  (round 4, appended)
 
     from .streaming import verified11 as _verified11  # noqa: F401  (round 4, appended)
 
