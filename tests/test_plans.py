@@ -334,6 +334,12 @@ _BNLJ_ALLOWED = {
     "t_closeness_audit", "eval_calibration_ece",
     # round 4: the 1-row max-key broadcast re-keying the RF1 insert batch
     "tpch_rf_maintenance",
+    # round 4: the 10x10 decile micro-table cumulative theta join + the
+    # 1-row totals broadcast (the user_growth_curve class)
+    "cumulative_gains_lift",
+    # round 4: the 1-row merged-sketch estimate crossed with the 1-row
+    # exact total (ALL row of the HLL rollup)
+    "hll_union_rollup",
 }
 
 
