@@ -281,6 +281,26 @@ HEADLINE = [
     # registry but out of the headline timing: its 2-pass fresh-log
     # protocol is ~12 s of fixed streaming overhead per run (the
     # grouped_user_features precedent).
+    # round 4 (session 4): rank/concentration/diversity statistics.
+    "mann_whitney_u_exact",
+    "gini_nation_spend",
+    "herfindahl_supplier_share",
+    "simpson_diversity_source",
+    # round 4 (session 4): exact set-sim join + bitmap distinct.
+    "setsim_prefix_filter_join",
+    "bitmap_distinct_rollup",
+    # round 4 (session 4): finance/temporal/IVM.
+    "revenue_recognition_monthly",
+    "allen_interval_relations",
+    "ivm_join_delta_view",
+    # round 4 (session 4): eval/sketch/statistics.
+    "cumulative_gains_lift",
+    "listagg_order_report",
+    "hll_union_rollup",
+    "permutation_test_hash",
+    # streaming_chained_window_rollup stays out of the headline timing
+    # (2-pass fresh-log protocol, fixed streaming overhead — the
+    # streaming_stateful_high_watermark precedent).
 ]
 
 

@@ -340,6 +340,8 @@ _BNLJ_ALLOWED = {
     # round 4: the 1-row merged-sketch estimate crossed with the 1-row
     # exact total (ALL row of the HLL rollup)
     "hll_union_rollup",
+    # round 4: 1-row global-rate broadcast (four-fifths rule)
+    "fairness_parity_audit",
 }
 
 
