@@ -174,6 +174,23 @@ QUERIES = [
     "bootstrap_mean_ci_hash",
     "fifo_lot_matching",
     "dbscan_core_points",
+    # round 4, session 4
+    "mann_whitney_u_exact",
+    "gini_nation_spend",
+    "herfindahl_supplier_share",
+    "simpson_diversity_source",
+    "setsim_prefix_filter_join",
+    "bitmap_distinct_rollup",
+    "revenue_recognition_monthly",
+    "allen_interval_relations",
+    "ivm_join_delta_view",
+    "cumulative_gains_lift",
+    "listagg_order_report",
+    "hll_union_rollup",
+    "permutation_test_hash",
+    "sql_pipe_syntax_report",
+    "fairness_parity_audit",
+    "blocking_quality_metrics",
 ]
 
 
