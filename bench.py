@@ -301,6 +301,10 @@ HEADLINE = [
     # streaming_chained_window_rollup stays out of the headline timing
     # (2-pass fresh-log protocol, fixed streaming overhead — the
     # streaming_stateful_high_watermark precedent).
+    "sql_pipe_syntax_report",
+    "fairness_parity_audit",
+    "blocking_quality_metrics",
+    "multimodal_audio_vad_segments",
 ]
 
 
