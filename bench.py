@@ -305,6 +305,10 @@ HEADLINE = [
     "fairness_parity_audit",
     "blocking_quality_metrics",
     "multimodal_audio_vad_segments",
+    "attribution_position_based",
+    "survivorship_golden_record",
+    "wilson_lower_bound_ranking",
+    "eb_shrunk_rate_ranking",
 ]
 
 
