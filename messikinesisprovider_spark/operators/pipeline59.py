@@ -21,16 +21,17 @@ inspectable:
   for display.
 
 Both rank with a two-level tiebreak (statistic, brand) over the 25-brand
-aggregate — a micro-table window after one map-side-combined groupBy.
+aggregate via the two-pass global ranking (ranking.py) — warning-free at
+any cardinality even though the brand domain is fixed.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window as W
 
 from ..registry import register
+from .ranking import global_row_number
 from .relational import tbl
 
 # z = 1.96 and z^2 as literals shared by both engines
@@ -95,19 +96,13 @@ def wilson_lower_bound_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = scored.select(
         "brand", "n", "pos", F.expr(_WILSON_EXPR).alias("wilson_lb")
     )
-    # constant-partition window: the input is the 25-brand aggregate (the
-    # brand domain is fixed like nations/regions), so the single reducer
-    # sees a micro-table at ANY corpus scale — not a data-sized sort
-    return w.select(
-        "brand",
-        "n",
-        "pos",
-        "wilson_lb",
-        F.row_number()
-        .over(W.partitionBy(F.lit(0)).orderBy(F.col("wilson_lb").desc(), "brand"))
-        .cast("long")
-        .alias("rank"),
+    # two-pass global ranking (the house machinery): the input is the
+    # 25-brand aggregate, but the shape stays warning-free and correct if
+    # the grouping key ever widens beyond a fixed domain
+    ranked, _n = global_row_number(
+        w, order_by=[F.col("wilson_lb").desc(), F.col("brand")], rn_col="rank"
     )
+    return ranked.select("brand", "n", "pos", "wilson_lb", F.col("rank").cast("long").alias("rank"))
 
 
 _EB_A, _EB_B = 8, 92  # literal Beta prior: ~8% at strength 100
@@ -157,15 +152,10 @@ def eb_shrunk_rate_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = (F.col("pos") + _EB_A).cast("double") / (F.col("n") + _EB_A + _EB_B).cast(
         "double"
     )
-    # constant-partition window over the domain-bounded 25-brand aggregate
-    # (see wilson_lower_bound_ranking)
-    return per.select(
-        "brand",
-        "n",
-        "pos",
-        rate.alias("shrunk_rate"),
-        F.row_number()
-        .over(W.partitionBy(F.lit(0)).orderBy(rate.desc(), "brand"))
-        .cast("long")
-        .alias("rank"),
+    scored = per.select("brand", "n", "pos", rate.alias("shrunk_rate"))
+    ranked, _n = global_row_number(
+        scored, order_by=[F.col("shrunk_rate").desc(), F.col("brand")], rn_col="rank"
+    )
+    return ranked.select(
+        "brand", "n", "pos", "shrunk_rate", F.col("rank").cast("long").alias("rank")
     )
