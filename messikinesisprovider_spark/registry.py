@@ -212,9 +212,11 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import pipeline57  # noqa: F401  (round 4, appended)
     from .operators import pipeline58  # noqa: F401  (round 4, appended)
     from .operators import pipeline59  # noqa: F401  (round 4, appended)
+    from .operators import pipeline60  # noqa: F401  (round 4, appended)
 
     from .streaming import verified11 as _verified11  # noqa: F401  (round 4, appended)
     from .streaming import verified12 as _verified12  # noqa: F401  (round 4, appended)
+    from .streaming import verified13 as _verified13  # noqa: F401  (round 4, appended)
 
     # Driver-coverage rotation (round 4): the driver's correctness harness
     # executes the FIRST 50 registry entries each round, so for three rounds
