@@ -309,6 +309,8 @@ HEADLINE = [
     "survivorship_golden_record",
     "wilson_lower_bound_ranking",
     "eb_shrunk_rate_ranking",
+    "embedding_matryoshka_recall",
+    # streaming_union_two_logs stays out of the headline (fresh-log protocol)
 ]
 
 

@@ -196,6 +196,7 @@ QUERIES = [
     "survivorship_golden_record",
     "wilson_lower_bound_ranking",
     "eb_shrunk_rate_ranking",
+    "embedding_matryoshka_recall",
 ]
 
 
