@@ -342,6 +342,9 @@ _BNLJ_ALLOWED = {
     "hll_union_rollup",
     # round 4: 1-row global-rate broadcast (four-fifths rule)
     "fairness_parity_audit",
+    # round 4: 1-row root-argmax broadcast + 9-row per-child argmax theta;
+    # <=8-row per-round config-rank theta joins (successive halving)
+    "tree_split_two_level", "successive_halving_eval",
 }
 
 
