@@ -345,6 +345,9 @@ _BNLJ_ALLOWED = {
     # round 4: 1-row root-argmax broadcast + 9-row per-child argmax theta;
     # <=8-row per-round config-rank theta joins (successive halving)
     "tree_split_two_level", "successive_halving_eval",
+    # round 4: the 8-query-vector broadcast against the corpus (the
+    # sim_topk_bruteforce shape at two dimensionalities)
+    "embedding_matryoshka_recall",
 }
 
 
