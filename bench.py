@@ -310,6 +310,10 @@ HEADLINE = [
     "wilson_lower_bound_ranking",
     "eb_shrunk_rate_ranking",
     "embedding_matryoshka_recall",
+    "tree_split_two_level",
+    "successive_halving_eval",
+    "image_ahash_dedup",
+    "forecast_pinball_loss",
     # streaming_union_two_logs stays out of the headline (fresh-log protocol)
 ]
 

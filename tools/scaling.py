@@ -197,6 +197,10 @@ QUERIES = [
     "wilson_lower_bound_ranking",
     "eb_shrunk_rate_ranking",
     "embedding_matryoshka_recall",
+    "tree_split_two_level",
+    "successive_halving_eval",
+    "image_ahash_dedup",
+    "forecast_pinball_loss",
 ]
 
 

@@ -190,6 +190,19 @@ SHOW = [
     "bootstrap_mean_ci_hash",
     "fifo_lot_matching",
     "dbscan_core_points",
+    # round 4, session 4: the scale-interesting plans — prefix-filter join
+    # (rare-token candidates), bitmap rollup (two-level BIT_OR), IVM delta
+    # join, VAD mapInPandas, revenue-recognition explode, tournament slices
+    "setsim_prefix_filter_join",
+    "bitmap_distinct_rollup",
+    "ivm_join_delta_view",
+    "revenue_recognition_monthly",
+    "multimodal_audio_vad_segments",
+    "cumulative_gains_lift",
+    "blocking_quality_metrics",
+    "mann_whitney_u_exact",
+    "successive_halving_eval",
+    "embedding_matryoshka_recall",
 ]
 
 
