@@ -314,6 +314,8 @@ HEADLINE = [
     "successive_halving_eval",
     "image_ahash_dedup",
     "forecast_pinball_loss",
+    "causal_stratified_ate",
+    "cohens_kappa_langid",
     # streaming_union_two_logs stays out of the headline (fresh-log protocol)
 ]
 

@@ -348,6 +348,9 @@ _BNLJ_ALLOWED = {
     # round 4: the 8-query-vector broadcast against the corpus (the
     # sim_topk_bruteforce shape at two dimensionalities)
     "embedding_matryoshka_recall",
+    # round 4: the 1-row chance-agreement total crossed with the 1-row
+    # accuracy total (Cohen's kappa)
+    "cohens_kappa_langid",
 }
 
 

@@ -201,6 +201,8 @@ QUERIES = [
     "successive_halving_eval",
     "image_ahash_dedup",
     "forecast_pinball_loss",
+    "causal_stratified_ate",
+    "cohens_kappa_langid",
 ]
 
 
