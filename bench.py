@@ -316,6 +316,8 @@ HEADLINE = [
     "forecast_pinball_loss",
     "causal_stratified_ate",
     "cohens_kappa_langid",
+    "applyinarrow_group_digest",
+    "bot_rate_flagging",
     # streaming_union_two_logs stays out of the headline (fresh-log protocol)
 ]
 

@@ -351,6 +351,8 @@ _BNLJ_ALLOWED = {
     # round 4: the 1-row chance-agreement total crossed with the 1-row
     # accuracy total (Cohen's kappa)
     "cohens_kappa_langid",
+    # round 4: the 1-row per-user-average totals broadcast (abuse flags)
+    "bot_rate_flagging",
 }
 
 

@@ -203,6 +203,8 @@ QUERIES = [
     "forecast_pinball_loss",
     "causal_stratified_ate",
     "cohens_kappa_langid",
+    "applyinarrow_group_digest",
+    "bot_rate_flagging",
 ]
 
 
