@@ -318,6 +318,8 @@ HEADLINE = [
     "cohens_kappa_langid",
     "applyinarrow_group_digest",
     "bot_rate_flagging",
+    "graph_modularity_lpa",
+    "fano_burstiness_by_type",
     # streaming_union_two_logs stays out of the headline (fresh-log protocol)
 ]
 

@@ -205,6 +205,8 @@ QUERIES = [
     "cohens_kappa_langid",
     "applyinarrow_group_digest",
     "bot_rate_flagging",
+    "graph_modularity_lpa",
+    "fano_burstiness_by_type",
 ]
 
 
