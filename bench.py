@@ -320,6 +320,8 @@ HEADLINE = [
     "bot_rate_flagging",
     "graph_modularity_lpa",
     "fano_burstiness_by_type",
+    "consistent_hash_ring_plan",
+    "churn_label_daily",
     # streaming_union_two_logs stays out of the headline (fresh-log protocol)
 ]
 

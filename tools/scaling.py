@@ -207,6 +207,8 @@ QUERIES = [
     "bot_rate_flagging",
     "graph_modularity_lpa",
     "fano_burstiness_by_type",
+    "consistent_hash_ring_plan",
+    "churn_label_daily",
 ]
 
 
