@@ -322,6 +322,8 @@ HEADLINE = [
     "fano_burstiness_by_type",
     "consistent_hash_ring_plan",
     "churn_label_daily",
+    "join_shuffle_hash_hint",
+    "heaps_law_curve",
     # streaming_union_two_logs stays out of the headline (fresh-log protocol)
 ]
 

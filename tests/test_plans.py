@@ -377,6 +377,17 @@ def test_no_cartesian_and_bnlj_only_where_sanctioned(spark):
     assert checked > 100
 
 
+def test_shuffle_hash_hint_is_honored(spark):
+    """join_shuffle_hash_hint exists to demonstrate the strategy hint:
+    the plan must contain a ShuffledHashJoin (not the SMJ Catalyst would
+    otherwise pick for two large sides)."""
+    from messikinesisprovider_spark.operators.pipeline67 import join_shuffle_hash_hint
+    from messikinesisprovider_spark.plans import inspect
+
+    plan = inspect.physical_plan(join_shuffle_hash_hint(spark, SF))
+    assert "ShuffledHashJoin" in plan, "SHUFFLE_HASH hint was not honored"
+
+
 def test_dpp_is_planned(spark):
     """dpp_dim_filter_join's fact scan must carry a dynamic-pruning
     partition filter — the plan property the query exists to demonstrate

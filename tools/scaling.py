@@ -209,6 +209,8 @@ QUERIES = [
     "fano_burstiness_by_type",
     "consistent_hash_ring_plan",
     "churn_label_daily",
+    "join_shuffle_hash_hint",
+    "heaps_law_curve",
 ]
 
 
