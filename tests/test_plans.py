@@ -353,6 +353,10 @@ _BNLJ_ALLOWED = {
     "cohens_kappa_langid",
     # round 4: the 1-row per-user-average totals broadcast (abuse flags)
     "bot_rate_flagging",
+    # round 4: 1-row scalar broadcasts — the forecast day bounds (the
+    # forecast_backtest_snaive shape), the churn last-day bound, and the
+    # modularity edge-count m
+    "forecast_pinball_loss", "churn_label_daily", "graph_modularity_lpa",
 }
 
 
