@@ -324,6 +324,8 @@ HEADLINE = [
     "churn_label_daily",
     "join_shuffle_hash_hint",
     "heaps_law_curve",
+    "ansi_try_functions",
+    "cycle_time_p50_monthly",
     # streaming_union_two_logs stays out of the headline (fresh-log protocol)
 ]
 

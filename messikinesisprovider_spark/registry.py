@@ -220,6 +220,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import pipeline65  # noqa: F401  (round 4, appended)
     from .operators import pipeline66  # noqa: F401  (round 4, appended)
     from .operators import pipeline67  # noqa: F401  (round 4, appended)
+    from .operators import pipeline68  # noqa: F401  (round 4, appended)
 
     from .streaming import verified11 as _verified11  # noqa: F401  (round 4, appended)
     from .streaming import verified12 as _verified12  # noqa: F401  (round 4, appended)

@@ -211,6 +211,8 @@ QUERIES = [
     "churn_label_daily",
     "join_shuffle_hash_hint",
     "heaps_law_curve",
+    "ansi_try_functions",
+    "cycle_time_p50_monthly",
 ]
 
 
