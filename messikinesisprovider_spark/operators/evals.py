@@ -1,11 +1,20 @@
-"""Quality-evaluation queries (round 2, appended): recall of the approximate
-operators measured against their exact baselines, as registry entries.
+"""Quality-evaluation queries (round 2, appended; oracled in round 5): recall
+of the approximate operators measured against their exact baselines, as
+registry entries.
 
 The pytest suite already asserts recall floors; registering the measurements
 makes them driver-visible artifacts — every round's CORRECTNESS file then
 records not just that the approximate operators ran, but how good they were.
-Rows-only (the approximate side has no cross-engine oracle by construction);
-the EXACT baselines they compare against are oracle-checked elsewhere.
+
+Round 5: both evals are now ORACLE-EXACT. Each approximate side already has a
+full-pipeline DuckDB oracle (`sim_ann_lsh`, `sim_ann_ivf_hashseed`,
+`dedup_minhash_lsh`), so the recall computation itself — join the exact pairs
+against the approximate pairs and divide — is SQL-expressible end-to-end; the
+oracles below nest those per-operator oracle queries as derived tables and
+re-derive recall inside DuckDB. The one remaining rows-only query in the
+registry is `sim_ann_ivf` (Lloyd-trained quantizer, seed-dependent by
+construction); its recall is covered here through the hash-seeded twin with
+the identical plan shape and probed fraction.
 """
 
 from __future__ import annotations
@@ -13,24 +22,76 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Imported for their registration side effects so the oracle strings below can
+# be read from the registry regardless of import order (these modules never
+# import evals back, so there is no cycle).
+from . import dedup as _dedup  # noqa: F401
+from . import similarity as _similarity  # noqa: F401
+from . import similarity3 as _similarity3  # noqa: F401
+from ..registry import _REGISTRY as _R
 from ..registry import register
+
+_BF_ORACLE = _R["sim_topk_bruteforce"].oracle
+_LSH_ORACLE = _R["sim_ann_lsh"].oracle
+_IVF_ORACLE = _R["sim_ann_ivf_hashseed"].oracle
+_NGRAM_ORACLE = _R["dedup_ngram_jaccard"].oracle
+_MINHASH_ORACLE = _R["dedup_minhash_lsh"].oracle
+
+# Recall of each ANN path = |ANN ∩ exact| / |exact| over (query_id,
+# neighbor_id) pairs. The three nested queries are verbatim the oracles of
+# the operators being measured, so a driver-green row here certifies the
+# MEASUREMENT, not just that the pipelines ran.
+_ANN_RECALL_ORACLE = f"""
+WITH exact_pairs AS (
+  SELECT query_id, neighbor_id FROM ({_BF_ORACLE}) bf
+),
+lsh_pairs AS (
+  SELECT query_id, neighbor_id FROM ({_LSH_ORACLE}) lsh
+),
+ivf_pairs AS (
+  SELECT query_id, neighbor_id FROM ({_IVF_ORACLE}) ivf
+),
+sides AS (
+  SELECT 'lsh_multitable' AS method,
+         (SELECT COUNT(*) FROM exact_pairs e
+            JOIN lsh_pairs a ON a.query_id = e.query_id
+                            AND a.neighbor_id = e.neighbor_id) AS n_found
+  UNION ALL
+  SELECT 'ivf_hashseed' AS method,
+         (SELECT COUNT(*) FROM exact_pairs e
+            JOIN ivf_pairs a ON a.query_id = e.query_id
+                            AND a.neighbor_id = e.neighbor_id) AS n_found
+)
+SELECT method,
+       (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+       n_found,
+       CASE WHEN (SELECT COUNT(*) FROM exact_pairs) = 0
+            THEN NULL
+            ELSE CAST(ROUND(CAST(n_found AS DOUBLE)
+                            / (SELECT COUNT(*) FROM exact_pairs), 6) AS DOUBLE)
+       END AS recall
+FROM sides
+"""
 
 
 @register(
     "ann_recall_eval",
-    oracle=None,  # compares hash-seeded ANN output; baseline itself is oracle-checked
-    description="Recall@k of both ANN paths (LSH multi-table, IVF) against "
-    "exact brute-force cosine top-k",
+    oracle=_ANN_RECALL_ORACLE,
+    description="Recall@k of both deterministic ANN paths (LSH multi-table, "
+    "hash-seeded IVF) against exact brute-force cosine top-k — oracle-exact",
     tags=("similarity", "eval", "extension"),
 )
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of `sim_ann_lsh` and `sim_ann_ivf` vs `sim_topk_bruteforce`.
+    """Recall@k of `sim_ann_lsh` and `sim_ann_ivf_hashseed` vs
+    `sim_topk_bruteforce`.
 
     One row per method: |ANN ∩ exact| / |exact| over (query_id, neighbor)
-    pairs. The exact baseline is itself under the DuckDB oracle, so this
-    measurement is anchored; the ANN sides are hash-seeded and therefore
-    rows-only. At corpus scale this is the recurring eval job that guards
-    re-tuning (bands, probes, nlist) against silent recall regressions.
+    pairs. Every side is deterministic and oracle-checked, so the recall
+    number itself is verified bit-for-bit by the driver. At corpus scale
+    this is the recurring eval job that guards re-tuning (bands, probes,
+    nlist) against silent recall regressions; the Lloyd-trained IVF variant
+    (`sim_ann_ivf`, rows-only by construction) shares this plan shape and
+    probed fraction, so its recall moves with the hash-seeded twin's.
 
     Reading the number: the synthetic embeddings are near-isotropic (top-5
     exact neighbors share the query's label only ~10% of the time), so NO
@@ -40,7 +101,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered embeddings the same probed fraction yields high recall; this
     eval is what shows the trade-off moving when the knobs move.
     """
-    from .similarity import sim_ann_ivf, sim_ann_lsh, sim_topk_bruteforce
+    from .similarity import sim_ann_lsh, sim_topk_bruteforce
+    from .similarity3 import sim_ann_ivf_hashseed
 
     exact = sim_topk_bruteforce(spark, sf_dir).select(
         F.col("query_id"), F.col("neighbor_id")
@@ -58,30 +120,55 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_found",
             # NULL (undefined), not an ANSI divide-by-zero, on empty truth
             F.when(F.col("n_exact") == 0, F.lit(None).cast("double"))
-            .otherwise(F.round(F.col("n_found") / F.col("n_exact"), 6))
+            .otherwise(F.round(F.col("n_found").cast("double") / F.col("n_exact"), 6))
             .alias("recall"),
         )
 
     lsh = recall("lsh_multitable", sim_ann_lsh(spark, sf_dir))
-    ivf = recall("ivf_probe", sim_ann_ivf(spark, sf_dir))
+    ivf = recall("ivf_hashseed", sim_ann_ivf_hashseed(spark, sf_dir))
     return lsh.unionAll(ivf)
+
+
+# Pair-level recall of banded MinHash candidates against the exact Jaccard
+# join at the shared 0.2 threshold; both nested queries are the operators'
+# own oracles (the exact oracle's >= 0.2 filter IS MINHASH_EST_THRESHOLD).
+_MINHASH_RECALL_ORACLE = f"""
+WITH true_pairs AS (
+  SELECT doc_a, doc_b FROM ({_NGRAM_ORACLE}) ng
+),
+found_pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) mh
+),
+hits AS (
+  SELECT t.doc_a, t.doc_b FROM true_pairs t
+  JOIN found_pairs f ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+)
+SELECT 'minhash_lsh_16x4' AS method,
+       (SELECT COUNT(*) FROM true_pairs) AS n_true_pairs,
+       (SELECT COUNT(*) FROM hits) AS n_found,
+       CASE WHEN (SELECT COUNT(*) FROM true_pairs) = 0
+            THEN NULL
+            ELSE CAST(ROUND(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                            / (SELECT COUNT(*) FROM true_pairs), 6) AS DOUBLE)
+       END AS recall
+"""
 
 
 @register(
     "minhash_recall_eval",
-    oracle=None,  # xxhash-seeded signatures have no cross-engine twin
+    oracle=_MINHASH_RECALL_ORACLE,
     description="Candidate recall of MinHash-LSH banding against exact "
-    "n-gram Jaccard pairs at the estimator threshold",
+    "n-gram Jaccard pairs at the estimator threshold — oracle-exact",
     tags=("dedup", "eval", "extension"),
 )
 def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-level recall of the banded MinHash candidate generator against
     the exact Jaccard self-join: of the truly-similar pairs (exact Jaccard
     >= the estimator threshold), how many did at least one LSH band
-    surface? The exact side is oracle-checked (`dedup_ngram_jaccard`); the
-    banded side is the scale path whose whole point is to avoid computing
-    the exact join — this eval is the honesty check that the shortcut
-    keeps the pairs it exists to find.
+    surface? Both sides are oracle-checked operators, so this recall
+    number is itself driver-verified; the banded side is the scale path
+    whose whole point is to avoid computing the exact join — this eval is
+    the honesty check that the shortcut keeps the pairs it exists to find.
     """
     from .dedup import (
         MINHASH_EST_THRESHOLD,
@@ -104,7 +191,9 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true_pairs",
             "n_found",
             F.when(F.col("n_true_pairs") == 0, F.lit(None).cast("double"))
-            .otherwise(F.round(F.col("n_found") / F.col("n_true_pairs"), 6))
+            .otherwise(
+                F.round(F.col("n_found").cast("double") / F.col("n_true_pairs"), 6)
+            )
             .alias("recall"),
         )
     )

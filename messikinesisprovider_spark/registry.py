@@ -226,17 +226,24 @@ def all_specs() -> dict[str, QuerySpec]:
     from .streaming import verified12 as _verified12  # noqa: F401  (round 4, appended)
     from .streaming import verified13 as _verified13  # noqa: F401  (round 4, appended)
 
-    # Driver-coverage rotation (round 4): the driver's correctness harness
-    # executes the FIRST 50 registry entries each round, so for three rounds
-    # the same 50 queries were driver-checked while the other ~170 had only
-    # the local parity harness.  Reorder so `flagship_events_last_day` stays
-    # first (entry() depends on it), then every query that has NEVER had a
-    # driver-green row (in insertion order), then the already-checked set.
-    # Semantics of each spec are untouched — this is coverage scheduling.
-    checked = _DRIVER_CHECKED_ROUNDS_1_3
+    # Driver-coverage rotation (rounds 4-5): the driver's correctness harness
+    # executes the FIRST 50 registry entries each round, so without rotation
+    # the same 50 queries would be driver-checked every round while the rest
+    # had only the local parity harness.  Reorder so `flagship_events_last_day`
+    # stays first (entry() depends on it), then every ORACLE-BACKED query that
+    # has never had a driver-green row (in insertion order), then the
+    # rows-only (oracle=None) never-checked queries, then the already-checked
+    # set.  Rows-only queries sort after every never-checked oracle-exact one
+    # so they never burn a verifiable slot in the driver's first-50 window
+    # (round-4 verdict item 1).  Semantics of each spec are untouched — this
+    # is coverage scheduling.
+    checked = _DRIVER_CHECKED
     ordered: dict[str, QuerySpec] = {}
     if "flagship_events_last_day" in _REGISTRY:
         ordered["flagship_events_last_day"] = _REGISTRY["flagship_events_last_day"]
+    for name, spec in _REGISTRY.items():
+        if name not in checked and name not in ordered and spec.oracle is not None:
+            ordered[name] = spec
     for name, spec in _REGISTRY.items():
         if name not in checked and name not in ordered:
             ordered[name] = spec
@@ -246,10 +253,11 @@ def all_specs() -> dict[str, QuerySpec]:
     return ordered
 
 
-# Names with a driver-side CORRECTNESS row in rounds 1-3 (union of
-# CORRECTNESS_r01..r03.json keys). Kept literal so the rotation is stable
+# Names with a driver-side CORRECTNESS row in any past round (union of
+# CORRECTNESS_r01..r04.json keys). Kept literal so the rotation is stable
 # and reviewable; extend after each round that adds driver-checked names.
-_DRIVER_CHECKED_ROUNDS_1_3 = frozenset({
+_DRIVER_CHECKED = frozenset({
+    # rounds 1-3 (CORRECTNESS_r01..r03.json)
     "approx_count_distinct", "array_agg_sorted", "asof_join_last_click",
     "conditional_agg", "correlated_in_subquery", "cube_agg", "dedup_clusters",
     "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_lsh",
@@ -267,4 +275,27 @@ _DRIVER_CHECKED_ROUNDS_1_3 = frozenset({
     "union_by_name_dedup", "user_features_builtin", "window_navigation",
     "window_range_frame", "window_rank_dense_ntile", "window_running_frame",
     "window_topk_per_group",
+    # round 4 (CORRECTNESS_r04.json)
+    "approx_percentile_sketch", "bool_aggregates", "calendar_spine_join",
+    "cursor_fallback_replay", "cursor_scan_external_id",
+    "cursor_scan_from_time", "dataset_split", "date_functions_2",
+    "deterministic_hash_sample", "embedding_norm_stats", "exact_percentiles",
+    "explode_word_topk", "groupwise_max_subquery", "latest_event_per_user",
+    "map_functions", "minby_maxby", "moment_statistics", "numeric_functions",
+    "percent_rank_cume", "regexp_family", "sim_ann_ivf", "sim_ann_lsh",
+    "sim_topk_bruteforce", "streaming_dedup_count", "streaming_enrich_join",
+    "streaming_session_window", "streaming_time_bucket", "string_functions_2",
+    "struct_json_roundtrip", "text_fingerprint", "text_lang_id",
+    "text_quality_score", "text_stats", "text_token_count_bpe",
+    "text_winnowing", "time_bucket_sliding", "tpch_q11_important_stock",
+    "tpch_q12_shipmode", "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier", "tpch_q19_bracketed",
+    "tpch_q2_min_cost_supplier", "tpch_q4_priority_check",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit",
 })
+
+# Backwards-compatible alias (tests and notes from earlier rounds refer to
+# the old name).
+_DRIVER_CHECKED_ROUNDS_1_3 = _DRIVER_CHECKED
