@@ -97,6 +97,11 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At warehouse scale this is the materialized normalized-embedding table.
     e = e.persist()
     sigs = e.select("vec_id", F.expr(_sig_expr_spark()).alias("sig"))
+    # Persist the slim (vec_id, chunk, bucket) index: the self-join would
+    # otherwise evaluate the ~900-node signature expression on BOTH sides
+    # (the expression is too wide for whole-stage codegen, so each pass is
+    # interpreted — measured 2.0 s -> 0.8 s for candidate generation at
+    # sf0.1). At warehouse scale this is the stored LSH index table.
     chunks = sigs.select(
         "vec_id",
         F.posexplode(
@@ -105,21 +110,29 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"c -> shiftright(sig, {_BITS_PER_CHUNK} * c) & {(1 << _BITS_PER_CHUNK) - 1})"
             )
         ).alias("c", "cv"),
-    )
+    ).persist()
+    # Candidate generation exploits pair symmetry (round-5 tuning): the
+    # bucket relation is symmetric, so mine each unordered pair ONCE
+    # (vec_id < vec_id halves the join output AND the distinct input),
+    # rescore once (cosine is symmetric), and emit both directions from the
+    # scored half-pair with a single explode — no recompute, no second
+    # shuffle. Candidate SET and results are bit-identical to the two-sided
+    # mining the oracle replicates; with the persisted chunk index above,
+    # measured 5.6 s -> 2.0 s at sf0.1.
     cand = (
         chunks.alias("x")
         .join(
             chunks.alias("y"),
             (F.col("x.c") == F.col("y.c"))
             & (F.col("x.cv") == F.col("y.cv"))
-            & (F.col("x.vec_id") != F.col("y.vec_id")),
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(F.col("x.vec_id").alias("src"), F.col("y.vec_id").alias("dst"))
         .distinct()
     )
     ea = e.select(F.col("vec_id").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     eb = e.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    scored = (
+    scored_half = (
         cand.join(ea, "src")
         .join(eb, "dst")
         .select(
@@ -131,6 +144,14 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+    scored = scored_half.select(
+        F.explode(
+            F.expr(
+                "array(struct(src, dst, cos_sim), "
+                "named_struct('src', dst, 'dst', src, 'cos_sim', cos_sim))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst", "p.cos_sim")
     w = W.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))

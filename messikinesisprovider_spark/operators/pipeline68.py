@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..registry import register
-from .relational import events_tbl, tbl
+from .relational import events_tbl, spread, tbl
 
 # ---------------------------------------------------------------------------
 # ansi_try_functions
@@ -66,9 +66,13 @@ FROM ev
     tags=("sql", "ansi", "extension"),
 )
 def ansi_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread(): the try_* escape hatches are CPU-bound per row (a failing
+    # try_add/try_cast pays a caught JVM ArithmeticException/NumberFormat
+    # per poisoned row — ~2 s single-core at sf0.1), and the single-file
+    # test scan gives ONE input partition. On a real multi-split table this
+    # round-robin is a no-op; locally it unlocks all cores (3.1 s → <0.5 s).
     ev = (
-        events_tbl(spark, sf_dir)
-        .filter(F.col("value").isNotNull())
+        spread(events_tbl(spark, sf_dir).filter(F.col("value").isNotNull()))
         .select(
             F.expr("try_divide(1000.0, CAST(ROUND(value) AS BIGINT))").alias("d"),
             F.expr("try_cast(props AS INT)").alias("p_int"),

@@ -111,6 +111,76 @@ def test_knn_graph_matches_numpy_reference(spark):
         assert out.get(k, []) == expect or (not expect and k not in out)
 
 
+def test_knn_candidate_volume_pinned(spark):
+    """Pin the LSH candidate volume (round-5 item 4): the symmetric
+    candidate set the operator rescore pays for must equal the python
+    reference's bucket-pair count exactly, and stay a bounded fraction of
+    all pairs — retuning the signature width/banding must show up here."""
+    from pyspark.sql import functions as F
+
+    from messikinesisprovider_spark.operators.pipeline32 import (
+        _BITS_PER_CHUNK,
+        _PLANE_CHUNKS,
+        _sig_expr_spark,
+    )
+    from messikinesisprovider_spark.operators.relational import spread, tbl
+
+    emb = pd.read_parquet(f"{SF01}/embeddings.parquet")
+    vecs = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64) for _, r in emb.iterrows()}
+    nrm = {k: float(np.sqrt((v * v).sum())) for k, v in vecs.items()}
+    vecs = {k: v for k, v in vecs.items() if nrm[k] > 0}
+    planes = np.asarray(_PLANES, dtype=np.float64)
+    sig = {
+        k: sum((1 << b) for b in range(len(planes)) if float(planes[b] @ v) > 0)
+        for k, v in vecs.items()
+    }
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for k, s in sig.items():
+        for c in range(_PLANE_CHUNKS):
+            buckets.setdefault(
+                (c, (s >> (_BITS_PER_CHUNK * c)) & ((1 << _BITS_PER_CHUNK) - 1)), []
+            ).append(k)
+    expected_pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                expected_pairs.add((ms[i], ms[j]))
+
+    e = spread(tbl(spark, SF01, "embeddings")).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.expr(
+            "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
+        ).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    sigs = e.select("vec_id", F.expr(_sig_expr_spark()).alias("sig"))
+    chunks = sigs.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PLANE_CHUNKS - 1}), "
+                f"c -> shiftright(sig, {_BITS_PER_CHUNK} * c) & {(1 << _BITS_PER_CHUNK) - 1})"
+            )
+        ).alias("c", "cv"),
+    )
+    n_cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.c") == F.col("y.c"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select("x.vec_id", "y.vec_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand == len(expected_pairs)
+    n = len(vecs)
+    assert n_cand <= 0.25 * (n * (n - 1) / 2)
+
+
 def test_shard_plan_is_balanced_and_total_preserving(spark):
     rows = corpus_shard_plan(spark, SF).collect()
     docs = pd.read_parquet(f"{SF}/documents.parquet")
