@@ -326,6 +326,8 @@ HEADLINE = [
     "heaps_law_curve",
     "ansi_try_functions",
     "cycle_time_p50_monthly",
+    # round 5: adaptive-width LSH kNN graph (the scale path for knn_graph_build)
+    "knn_graph_adaptive",
     # streaming_union_two_logs stays out of the headline (fresh-log protocol)
 ]
 

@@ -1,0 +1,216 @@
+"""Round 5 additions, part 1: adaptive-width LSH kNN graph.
+
+``knn_graph_adaptive`` is the scale path for ``knn_graph_build``
+(pipeline32). The fixed query hashes every vector into 4 chunks of 4 sign
+bits — 16 buckets per chunk — so candidate volume grows as N²/2^bits: honest
+and oracle-exact, but quadratic once the corpus outgrows the bucket count
+(measured on the synthetic sf1 fixture: ~50M candidate pairs at 20k vectors
+vs 925k at 2k). Every production LSH index solves this the same way: the
+signature width grows with log(N) so bucket OCCUPANCY stays constant and
+candidate volume stays ~linear in N.
+
+This query does that end-to-end deterministically, including inside the
+DuckDB oracle:
+
+- bits-per-chunk ladder (target occupancy ~125 vectors/bucket, floor 4,
+  cap 10), chosen by integer comparisons on COUNT(*) — no float log2, so
+  Spark and DuckDB can never disagree at a boundary;
+- chunk c's first 4 planes are EXACTLY pipeline32's planes 4c..4c+3 (seed
+  777), so at N <= 2000 this query degenerates to the fixed query's
+  candidate set bit-for-bit; wider widths append planes from an extension
+  seed (779);
+- the Spark side learns N from a parquet-footer count (an index-build
+  metadata read, like the IVF trainer's bounded sample) and builds the
+  bucket expression for that width; the oracle computes the SAME ladder in
+  SQL and masks unused plane bits with j < bits guards.
+
+Candidate volume: N<=2k -> 4-bit chunks (the fixed query); 20k -> 8-bit
+chunks, ~256 buckets/chunk, ~78 vectors/bucket, ~3M candidates (3.2x on 10x
+data). Rescore/top-k identical to pipeline32 (symmetric mining, sequential
+fold cosine, per-vertex partitioned window).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import register
+from .pipeline3 import _EMBED_DIM, _PLANES, _plane_dot_duck, _plane_dot_spark
+from .relational import spread, tbl
+
+_KNN_K = 3
+_N_CHUNKS = 4
+_MIN_BITS = 4
+_MAX_BITS = 10
+_TARGET_BUCKET = 125  # occupancy the ladder holds constant
+
+# The bits ladder: smallest B in [4,10] with N <= TARGET * CHUNKS... kept as
+# explicit integer thresholds so the SQL twin is a CASE over exact integer
+# comparisons. Threshold for B bits: N <= TARGET_BUCKET * 2^B.
+_BITS_THRESHOLDS = [(_TARGET_BUCKET * (1 << b), b) for b in range(_MIN_BITS, _MAX_BITS)]
+
+
+def _bits_for(n: int) -> int:
+    for limit, b in _BITS_THRESHOLDS:
+        if n <= limit:
+            return b
+    return _MAX_BITS
+
+
+def _ext_planes() -> np.ndarray:
+    """4 chunks x 10 planes x 64 dims; [c][j<4] is pipeline32's plane
+    4c+j (so small corpora reproduce the fixed query exactly), [c][j>=4]
+    extends with the same small-integer Rademacher construction."""
+    rng = np.random.default_rng(779)
+    ext = rng.integers(-3, 4, size=(_N_CHUNKS, _MAX_BITS, _EMBED_DIM))
+    for c in range(_N_CHUNKS):
+        for j in range(_MIN_BITS):
+            ext[c][j] = _PLANES[_N_CHUNKS * c + j]
+        for j in range(_MIN_BITS, _MAX_BITS):
+            if not ext[c][j].any():
+                ext[c][j][0] = 1
+    return ext
+
+
+_EXT_PLANES = _ext_planes()
+
+_BITS_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN n <= {limit} THEN {b}" for limit, b in _BITS_THRESHOLDS)
+    + f" ELSE {_MAX_BITS} END"
+)
+
+
+def _bucket_exprs_spark(bits: int) -> list[str]:
+    return [
+        " + ".join(
+            f"(CASE WHEN {_plane_dot_spark(_EXT_PLANES[c][j])} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bits)
+        )
+        for c in range(_N_CHUNKS)
+    ]
+
+
+def _knn_adaptive_oracle() -> str:
+    # One bucket expression per chunk; plane j contributes only when
+    # j < bits (masked per row by the scalar `bits` from the count CTE).
+    chunk_exprs = []
+    for c in range(_N_CHUNKS):
+        bitsum = " + ".join(
+            f"(CASE WHEN {j} < w.bits AND {_plane_dot_duck(_EXT_PLANES[c][j])} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(_MAX_BITS)
+        )
+        chunk_exprs.append(f"SELECT e.vec_id, {c} AS c, {bitsum} AS cv FROM e CROSS JOIN w")
+    chunks_sql = " UNION ALL ".join(chunk_exprs)
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+e AS (SELECT * FROM e0 WHERE nrm > 0),
+w AS (SELECT {_BITS_CASE_SQL} AS bits FROM (SELECT COUNT(*) AS n FROM e)),
+chunks AS ({chunks_sql}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.src, c.dst,
+         CAST(ROUND(list_sum(list_transform(range(1, {_EMBED_DIM + 1}),
+                    i -> ea.v[i] * eb.v[i])) / (ea.nrm * eb.nrm), 6) AS DOUBLE) AS cos_sim
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.src
+  JOIN e eb ON eb.vec_id = c.dst
+),
+sym AS (
+  SELECT src, dst, cos_sim FROM scored
+  UNION ALL
+  SELECT dst AS src, src AS dst, cos_sim FROM scored
+)
+SELECT src AS vec_id, CAST(rnk AS BIGINT) AS rnk, dst AS neighbor_id, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                               ORDER BY cos_sim DESC, dst) AS rnk
+  FROM sym
+) WHERE rnk <= {_KNN_K}
+"""
+
+
+@register(
+    "knn_graph_adaptive",
+    oracle=_knn_adaptive_oracle(),
+    description=f"kNN graph with ADAPTIVE-width LSH: bits-per-chunk grows "
+    f"with log(N) (integer ladder, target ~{_TARGET_BUCKET}/bucket) so "
+    "candidate volume stays ~linear in corpus size; degenerates to "
+    "knn_graph_build's exact candidate set at N<=2000; full pipeline "
+    "replicated in the oracle including the width choice",
+    tags=("similarity", "graph", "lsh", "scale", "extension"),
+)
+def knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production kNN-graph shape: signature width is a function of the
+    corpus size (re-chosen at index-build time; the footer-count here is
+    that metadata read), so 10x data means ~10x candidates — never 100x.
+    Everything after candidate generation matches pipeline32: persist the
+    slim chunk index, mine unordered pairs once, fold-rescore, mirror with
+    one explode, per-vertex top-k window."""
+    raw = tbl(spark, sf_dir, "embeddings")
+    n = raw.count()  # parquet footer count — the index-build metadata read
+    bits = _bits_for(n)
+    e = spread(raw).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.expr(
+            "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
+        ).alias("nrm"),
+    ).filter(F.col("nrm") > 0).persist()
+    bucket_exprs = _bucket_exprs_spark(bits)
+    chunks = None
+    for c, expr in enumerate(bucket_exprs):
+        part = e.select(
+            "vec_id", F.lit(c).alias("c"), F.expr(expr).cast("long").alias("cv")
+        )
+        chunks = part if chunks is None else chunks.unionAll(part)
+    chunks = chunks.persist()
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.c") == F.col("y.c"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("src"), F.col("y.vec_id").alias("dst"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    scored_half = (
+        cand.join(ea, "src")
+        .join(eb, "dst")
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "CAST(ROUND(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, "
+                "(acc, p) -> acc + p) / (na * nb), 6) AS DOUBLE)"
+            ).alias("cos_sim"),
+        )
+    )
+    scored = scored_half.select(
+        F.explode(
+            F.expr(
+                "array(struct(src, dst, cos_sim), "
+                "named_struct('src', dst, 'dst', src, 'cos_sim', cos_sim))"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst", "p.cos_sim")
+    w = W.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _KNN_K)
+        .select(F.col("src").alias("vec_id"), "rnk", F.col("dst").alias("neighbor_id"), "cos_sim")
+    )

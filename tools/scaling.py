@@ -1,10 +1,15 @@
 """Write SCALING.md: wall time of representative queries across the three
-test scale factors (10x data per step), with the 0.01→0.1 growth ratio.
+test scale factors (10x data per step), with the 0.01→0.1 growth ratio —
+plus (round 5) a THIRD decade: the ~40 scale-tagged queries re-timed on the
+synthetic sf1 fixture (tools/make_sfbig.py: sf0.1 upsampled 10x with
+consistent key offsets, permuted document text and rolled embeddings so
+joins/dedup scale with true content growth, not synthetic cloning).
 
 Evidence for the scale argument: a plan whose runtime grows ~linearly (or
-less, while fixed overhead dominates) across two decades of input is
+less, while fixed overhead dominates) across THREE decades of input is
 shuffle- and skew-shaped correctly at this range; a super-linear ratio marks
-an operator to re-plan. Regenerate: python tools/scaling.py
+an operator to re-plan. Regenerate: python tools/scaling.py (builds the sf1
+fixture automatically if absent).
 """
 
 import json
@@ -213,7 +218,86 @@ QUERIES = [
     "heaps_law_curve",
     "ansi_try_functions",
     "cycle_time_p50_monthly",
+    # round 5
+    "knn_graph_adaptive",
 ]
+
+# Third decade (round 5): the scale-tagged subset re-timed on the synthetic
+# sf1 fixture. One heavy representative per operator family plus every query
+# the round-4 verdict called out as a worst 0.01->0.1 offender
+# (pricing_summary 3.73x, applyinarrow_group_digest 2.69x,
+# sketch_agms_join_size 2.64x, heaps_law_curve 2.28x).
+BIG_DIR = os.environ.get("SPARK_GRAFT_SFBIG_DIR", "/tmp/sf1")
+BIG_QUERIES = [
+    # round-4 worst offenders
+    "pricing_summary",
+    "applyinarrow_group_digest",
+    "sketch_agms_join_size",
+    "heaps_law_curve",
+    # joins
+    "join_multiway",
+    "range_join_binned",
+    "skew_salted_join",
+    "dpp_dim_filter_join",
+    "setsim_prefix_filter_join",
+    # agg / window
+    "window_topk_per_group",
+    "window_rank_dense_ntile",
+    "percentile_cont_exact",
+    "sessionize_gaps",
+    "percent_rank_cume",
+    # dedup
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "semdedup_cells",
+    "dedup_winnowing_overlap",
+    "url_canonicalize_dedup",
+    # similarity / ANN
+    "sim_ann_ivf_hashseed",
+    "knn_graph_build",
+    "knn_graph_adaptive",
+    "sim_ann_pq_adc",
+    "tfidf_topk_pairs",
+    # graph (shared edge table)
+    "graph_edges_materialized",
+    "graph_khop_reach",
+    "graph_kcore_peel",
+    "triangle_count",
+    # text / tokenizer
+    "term_salience_topk",
+    "token_pmi_bigrams",
+    "ngram_lm_score",
+    "bpe_train_rounds",
+    "bpe_encode_corpus",
+    # curation / events
+    "curation_pipeline_e2e",
+    "corpus_shard_plan",
+    "funnel_conversion",
+    "cohort_retention",
+    "rolling_active_users",
+    "cooccur_window_pmi",
+    # python exec surfaces + sampling-heavy
+    "arrow_batch_hash",
+    "cogroup_order_reconcile",
+    "bootstrap_mean_ci_hash",
+]
+
+
+def _ensure_sfbig() -> bool:
+    if os.path.isdir(BIG_DIR) and os.path.exists(os.path.join(BIG_DIR, "lineitem.parquet")):
+        return True
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    r = subprocess.run(
+        [sys.executable, os.path.join(here, "make_sfbig.py"), SFS[-1], BIG_DIR],
+        capture_output=True,
+        text=True,
+    )
+    if r.returncode != 0:
+        print(f"sfbig generation failed, skipping third decade:\n{r.stderr[-2000:]}")
+        return False
+    return True
 
 
 def main():
@@ -235,23 +319,43 @@ def main():
                 best = dt if best is None else min(best, dt)
             per_sf.append(round(best, 3))
         results[name] = per_sf
+    big_results: dict[str, float] = {}
+    if _ensure_sfbig():
+        for name in BIG_QUERIES:
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                specs[name].fn(spark, BIG_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            big_results[name] = round(best, 3)
     lines = [
         "# SCALING — wall time across scale factors (local[32], min of 2 runs)",
         "",
-        "10x rows per SF step. The last column is the 0.01→0.1 wall-time ratio:",
+        "10x rows per SF step. Ratio columns are wall-time growth per decade:",
         "~1x means fixed overhead still dominates (the plan has headroom), up",
         "to ~10x is linear in input, above ~10x would flag a super-linear",
-        "shuffle or skew problem. Regenerate: `python tools/scaling.py`.",
+        "shuffle or skew problem. The sf1 columns are the scale-tagged subset",
+        "re-timed on the synthetic third decade (`tools/make_sfbig.py`:",
+        "sf0.1 upsampled 10x, keys offset consistently, document text",
+        "permuted / embeddings rolled per copy so dedup/ANN joins scale with",
+        "true content growth). Regenerate: `python tools/scaling.py`.",
         "",
-        "| query | sf0.001 s | sf0.01 s | sf0.1 s | 0.01→0.1 ratio |",
-        "|---|---|---|---|---|",
+        "| query | sf0.001 s | sf0.01 s | sf0.1 s | 0.01→0.1 ratio | sf1 s | 0.1→1.0 ratio |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name, (a, b, c) in results.items():
         ratio = round(c / b, 2) if b else float("nan")
-        lines.append(f"| {name} | {a} | {b} | {c} | {ratio}x |")
+        if name in big_results:
+            d = big_results[name]
+            big_ratio = f"{round(d / c, 2)}x" if c else "nan"
+            lines.append(f"| {name} | {a} | {b} | {c} | {ratio}x | {d} | {big_ratio} |")
+        else:
+            lines.append(f"| {name} | {a} | {b} | {c} | {ratio}x | | |")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps(results))
+    print(json.dumps({"three_sf": results, "sf1": big_results}))
     print("SCALING.md written")
 
 
