@@ -357,6 +357,9 @@ _BNLJ_ALLOWED = {
     # forecast_backtest_snaive shape), the churn last-day bound, and the
     # modularity edge-count m
     "forecast_pinball_loss", "churn_label_daily", "graph_modularity_lpa",
+    # round 5: the 1-row corpus-token-total broadcast feeding the scaled
+    # inverse-frequency term (the token_pmi_bigrams corpus-total shape)
+    "doc_unigram_surprisal",
 }
 
 
