@@ -360,6 +360,13 @@ _BNLJ_ALLOWED = {
     # round 5: the 1-row corpus-token-total broadcast feeding the scaled
     # inverse-frequency term (the token_pmi_bigrams corpus-total shape)
     "doc_unigram_surprisal",
+    # round 5: domain-bounded contingency/marginal micro-table theta joins
+    # (50x11 value-domain cells; the eval_auc_exact score-bucket class) plus
+    # 1-row report-total crosses
+    "kendall_tau_exact", "spearman_rho_exact",
+    # round 5: the 7-row lag spine crossed with the |days| micro-series and
+    # the 1-row mean/denominator broadcasts
+    "acf_daily_lags",
 }
 
 
