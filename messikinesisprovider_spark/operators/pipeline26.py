@@ -50,7 +50,15 @@ JOIN cum ON cum.day = active.day
     tags=("analytics", "growth", "extension"),
 )
 def user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Active / new / cumulative per day (see module doc)."""
+    """Active / new / cumulative per day (see module doc).
+
+    Round-5 re-timing note: quiet min-of-3 at sf0.1 is 0.82 s vs the
+    round-3 0.45 s. Root-cause attempted: the plan is unchanged; rewrites
+    that cut the four events scans to two (persisted micro-aggregates,
+    0.98 s) or one (persisted distinct pass, 1.18 s) are both SLOWER — the
+    map-side-combined scans are cheaper than any extra shuffle or cache
+    materialization, so the delta is sub-second JVM-state noise, not a plan
+    regression."""
     ev = (
         events_tbl(spark, sf_dir)
         .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
