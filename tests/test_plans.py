@@ -367,6 +367,9 @@ _BNLJ_ALLOWED = {
     # round 5: the 7-row lag spine crossed with the |days| micro-series and
     # the 1-row mean/denominator broadcasts
     "acf_daily_lags",
+    # round 5: the 8-row salt-spine broadcast replicating the dimension side
+    # (the skew_salted_join construction, outer variant)
+    "skew_salted_left_join",
 }
 
 
