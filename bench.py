@@ -328,6 +328,12 @@ HEADLINE = [
     "cycle_time_p50_monthly",
     # round 5: adaptive-width LSH kNN graph (the scale path for knn_graph_build)
     "knn_graph_adaptive",
+    # round 5: preference aggregation, log-free perplexity gate, exact AP,
+    # and the outer salted join
+    "bradley_terry_two_rounds",
+    "doc_unigram_surprisal",
+    "eval_auc_pr_exact",
+    "skew_salted_left_join",
     # streaming_union_two_logs stays out of the headline (fresh-log protocol)
 ]
 

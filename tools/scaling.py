@@ -220,6 +220,12 @@ QUERIES = [
     "cycle_time_p50_monthly",
     # round 5
     "knn_graph_adaptive",
+    "bradley_terry_two_rounds",
+    "doc_unigram_surprisal",
+    "eval_auc_pr_exact",
+    "skew_salted_left_join",
+    "kendall_tau_exact",
+    "acf_daily_lags",
 ]
 
 # Third decade (round 5): the scale-tagged subset re-timed on the synthetic
@@ -280,6 +286,11 @@ BIG_QUERIES = [
     "arrow_batch_hash",
     "cogroup_order_reconcile",
     "bootstrap_mean_ci_hash",
+    # round 5: preference duels, global-rank AP, outer salted join
+    "bradley_terry_two_rounds",
+    "eval_auc_pr_exact",
+    "skew_salted_left_join",
+    "doc_unigram_surprisal",
 ]
 
 
