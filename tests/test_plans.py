@@ -370,6 +370,8 @@ _BNLJ_ALLOWED = {
     # round 5: the 8-row salt-spine broadcast replicating the dimension side
     # (the skew_salted_join construction, outer variant)
     "skew_salted_left_join",
+    # round 5: the 7-row offset-spine broadcast (aggregate-pushdown range join)
+    "range_join_preagg",
 }
 
 

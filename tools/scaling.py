@@ -226,6 +226,7 @@ QUERIES = [
     "skew_salted_left_join",
     "kendall_tau_exact",
     "acf_daily_lags",
+    "range_join_preagg",
 ]
 
 # Third decade (round 5): the scale-tagged subset re-timed on the synthetic
@@ -286,7 +287,9 @@ BIG_QUERIES = [
     "arrow_batch_hash",
     "cogroup_order_reconcile",
     "bootstrap_mean_ci_hash",
-    # round 5: preference duels, global-rank AP, outer salted join
+    # round 5: preference duels, global-rank AP, outer salted join,
+    # aggregate-pushdown range join (the linear twin of range_join_binned)
+    "range_join_preagg",
     "bradley_terry_two_rounds",
     "eval_auc_pr_exact",
     "skew_salted_left_join",
