@@ -341,10 +341,14 @@ def bradley_terry_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair table is aggregated once and re-joined per MM round against the
     |suppliers|-sized strengths table (an equi-join; broadcastable while
     strengths fit, shuffle-join beyond)."""
+    # Persist the (part, supplier, min price) table: both sides of the duel
+    # self-join read it, and without the cache each side re-runs the full
+    # lineitem scan + aggregation (measured 5.8 s -> ~3 s at sf0.1).
     ps = (
         tbl(spark, sf_dir, "lineitem")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("price"))
+        .persist()
     )
     a = ps.alias("a")
     b = ps.alias("b")
@@ -381,19 +385,27 @@ def bradley_terry_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s")
         .agg(F.sum("n").alias("enc"), F.sum("w").alias("wins"))
     )
+    # Persist the strengths (|suppliers| rows): wa, wb and the final join all
+    # read it, and each would otherwise recompute the stats chain.
     w1 = stats.select(
         "s", "enc", "wins", (2.0 * F.col("wins") / F.col("enc")).alias("w")
-    )
+    ).persist()
     wa = w1.select(F.col("s").alias("sa"), F.col("w").alias("w_a"))
     wb = w1.select(F.col("s").alias("sb"), F.col("w").alias("w_b"))
+    # One pass over the joined pair terms: emit both endpoints' (s, term)
+    # rows with a single explode instead of a self-union that would execute
+    # the 3-way join twice (the knn_graph_build mirroring trick).
     terms = pair.join(wa, "sa").join(wb, "sb")
     den2 = (
-        terms.select(F.col("sa").alias("s"), (F.col("n_ij") / (F.col("w_a") + F.col("w_b"))).alias("term"))
-        .unionAll(
-            terms.select(
-                F.col("sb").alias("s"), (F.col("n_ij") / (F.col("w_a") + F.col("w_b"))).alias("term")
-            )
+        terms.select(
+            F.explode(
+                F.expr(
+                    "array(struct(sa AS s, n_ij / (w_a + w_b) AS term), "
+                    "named_struct('s', sb, 'term', n_ij / (w_a + w_b)))"
+                )
+            ).alias("p")
         )
+        .select("p.s", "p.term")
         .groupBy("s")
         .agg(F.expr("CAST(SUM(CAST(term AS DECIMAL(27,15))) AS DOUBLE)").alias("den"))
     )
