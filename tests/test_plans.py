@@ -372,6 +372,8 @@ _BNLJ_ALLOWED = {
     "skew_salted_left_join",
     # round 5: the 7-row offset-spine broadcast (aggregate-pushdown range join)
     "range_join_preagg",
+    # round 5: the 1-row global-revenue total broadcast (percent-of-total)
+    "ratio_to_report_window",
 }
 
 
