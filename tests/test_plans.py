@@ -374,6 +374,9 @@ _BNLJ_ALLOWED = {
     "range_join_preagg",
     # round 5: the 1-row global-revenue total broadcast (percent-of-total)
     "ratio_to_report_window",
+    # round 5: 1-row total/p80 broadcasts + the 10-row decile spine
+    # (Pareto concentration report)
+    "pareto_8020_revenue",
 }
 
 
