@@ -334,6 +334,13 @@ HEADLINE = [
     "doc_unigram_surprisal",
     "eval_auc_pr_exact",
     "skew_salted_left_join",
+    # round 5 (continued): linear range join, revenue bridge, Pareto report,
+    # clipped n-gram precision, islands streaks
+    "range_join_preagg",
+    "revenue_bridge_monthly",
+    "pareto_8020_revenue",
+    "eval_ngram_precision_bleu",
+    "activity_streaks_islands",
     # streaming_union_two_logs stays out of the headline (fresh-log protocol)
 ]
 
