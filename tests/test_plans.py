@@ -377,6 +377,8 @@ _BNLJ_ALLOWED = {
     # round 5: 1-row total/p80 broadcasts + the 10-row decile spine
     # (Pareto concentration report)
     "pareto_8020_revenue",
+    # round 5: 1-row max-date / timeline-bounds / totals broadcasts
+    "decayed_popularity_halflife", "drift_total_variation",
 }
 
 
