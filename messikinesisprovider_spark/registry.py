@@ -236,6 +236,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import pipeline76  # noqa: F401  (round 5, appended)
     from .operators import pipeline77  # noqa: F401  (round 5, appended)
     from .operators import pipeline78  # noqa: F401  (round 5, appended)
+    from .operators import pipeline79  # noqa: F401  (round 5, appended)
 
     # Driver-coverage rotation (rounds 4-5): the driver's correctness harness
     # executes the FIRST 50 registry entries each round, so without rotation
