@@ -337,6 +337,8 @@ HEADLINE = [
     # round 5 (continued): linear range join, revenue bridge, Pareto report,
     # clipped n-gram precision, islands streaks
     "range_join_preagg",
+    # round 6
+    "semdedup_adaptive",
     "revenue_bridge_monthly",
     "pareto_8020_revenue",
     "eval_ngram_precision_bleu",

@@ -158,8 +158,6 @@ def knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     slim chunk index, mine unordered pairs once, fold-rescore, mirror with
     one explode, per-vertex top-k window."""
     raw = tbl(spark, sf_dir, "embeddings")
-    n = raw.count()  # parquet footer count — the index-build metadata read
-    bits = _bits_for(n)
     e = spread(raw).select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -167,6 +165,11 @@ def knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
         ).alias("nrm"),
     ).filter(F.col("nrm") > 0).persist()
+    # Width choice counts the SAME nrm>0-filtered frame the oracle's ladder
+    # CTE counts — a raw footer count could disagree with the oracle at a
+    # ladder boundary if the corpus held NULL/zero-norm embeddings.
+    n = e.count()  # index-build metadata read (persisted, reused below)
+    bits = _bits_for(n)
     bucket_exprs = _bucket_exprs_spark(bits)
     chunks = None
     for c, expr in enumerate(bucket_exprs):

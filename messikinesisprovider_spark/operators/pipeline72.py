@@ -176,20 +176,33 @@ ry AS (
   GROUP BY a.y, a.ny
 ),
 mom AS (
+  -- Cubic moments (n * r2 * r2) exceed int64 beyond ~1.3M rows (4n^3);
+  -- widen to DECIMAL before multiplying — 10+12+12 digit factors stay
+  -- inside DECIMAL(38,0) on both engines (same widening on the Spark side).
   SELECT SUM(c.n) AS nn,
-         SUM(c.n * rx.r2) AS sx, SUM(c.n * ry.r2) AS sy,
-         SUM(c.n * rx.r2 * rx.r2) AS sxx, SUM(c.n * ry.r2 * ry.r2) AS syy,
-         SUM(c.n * rx.r2 * ry.r2) AS sxy
+         SUM(CAST(c.n AS DECIMAL(10,0)) * CAST(rx.r2 AS DECIMAL(12,0))) AS sx,
+         SUM(CAST(c.n AS DECIMAL(10,0)) * CAST(ry.r2 AS DECIMAL(12,0))) AS sy,
+         SUM(CAST(c.n AS DECIMAL(10,0)) * CAST(rx.r2 AS DECIMAL(12,0))
+             * CAST(rx.r2 AS DECIMAL(12,0))) AS sxx,
+         SUM(CAST(c.n AS DECIMAL(10,0)) * CAST(ry.r2 AS DECIMAL(12,0))
+             * CAST(ry.r2 AS DECIMAL(12,0))) AS syy,
+         SUM(CAST(c.n AS DECIMAL(10,0)) * CAST(rx.r2 AS DECIMAL(12,0))
+             * CAST(ry.r2 AS DECIMAL(12,0))) AS sxy
   FROM cells c JOIN rx ON rx.x = c.x JOIN ry ON ry.y = c.y
 )
 SELECT CAST(nn AS BIGINT) AS n,
        CASE WHEN nn >= 2
-                 AND (CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) > 0
-                 AND (CAST(nn AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                 AND (CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
             THEN CAST(ROUND(
-              (CAST(nn AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-              sqrt((CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                   * (CAST(nn AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+              (CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              sqrt((CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
               AS DOUBLE)
        END AS rho
 FROM mom
@@ -232,26 +245,39 @@ def spearman_rho_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((2 * F.coalesce(F.sum("nyb"), F.lit(0)) + F.col("nya") + 1).alias("r2"))
         .select(F.col("ya").alias("y"), F.col("r2").alias("r2y"))
     )
+    # Decimal-widened moments (mirror of the oracle's CAST ladder): the cubic
+    # products overflow int64 past ~1.3M rows; 10+12+12-digit decimal factors
+    # keep every term inside DECIMAL(38,0) with bit-identical values.
+    nd = F.col("n").cast("decimal(10,0)")
+    r2d = F.col("r2").cast("decimal(12,0)")
+    r2yd = F.col("r2y").cast("decimal(12,0)")
     mom = (
         cells.join(rx, "x")
         .join(ry, "y")
         .agg(
             F.sum("n").alias("nn"),
-            F.sum(F.col("n") * F.col("r2")).alias("sx"),
-            F.sum(F.col("n") * F.col("r2y")).alias("sy"),
-            F.sum(F.col("n") * F.col("r2") * F.col("r2")).alias("sxx"),
-            F.sum(F.col("n") * F.col("r2y") * F.col("r2y")).alias("syy"),
-            F.sum(F.col("n") * F.col("r2") * F.col("r2y")).alias("sxy"),
+            F.sum(nd * r2d).alias("sx"),
+            F.sum(nd * r2yd).alias("sy"),
+            F.sum(nd * r2d * r2d).alias("sxx"),
+            F.sum(nd * r2yd * r2yd).alias("syy"),
+            F.sum(nd * r2d * r2yd).alias("sxy"),
         )
     )
-    varx = F.expr("CAST(nn AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx")
-    vary = F.expr("CAST(nn AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy")
+    varx = F.expr(
+        "CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    )
+    vary = F.expr(
+        "CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    )
     return mom.select(
         F.col("nn").cast("long").alias("n"),
         F.when(
             (F.col("nn") >= 2) & (varx > 0) & (vary > 0),
             F.round(
-                F.expr("CAST(nn AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy")
+                F.expr(
+                    "CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE) "
+                    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+                )
                 / F.sqrt(varx * vary),
                 6,
             ),

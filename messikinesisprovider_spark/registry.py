@@ -238,6 +238,11 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import pipeline78  # noqa: F401  (round 5, appended)
     from .operators import pipeline79  # noqa: F401  (round 5, appended)
 
+    from .operators import pipeline80  # noqa: F401  (round 6, appended)
+    from .streaming import verified14 as _verified14  # noqa: F401  (round 6, appended)
+    from .operators import pipeline81  # noqa: F401  (round 6, appended)
+    from .operators import pipeline82  # noqa: F401  (round 6, appended)
+
     # Driver-coverage rotation (rounds 4-5): the driver's correctness harness
     # executes the FIRST 50 registry entries each round, so without rotation
     # the same 50 queries would be driver-checked every round while the rest
@@ -306,6 +311,26 @@ _DRIVER_CHECKED = frozenset({
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q9_product_profit",
+    # round 5 (CORRECTNESS_r05.json)
+    "ann_recall_eval", "cohort_retention", "contamination_check",
+    "copurchase_pairs", "curation_pipeline_e2e", "data_profile_orders",
+    "dedup_chunk_fraction", "dedup_cross_source_matrix",
+    "dedup_incremental_exact", "dedup_keep_canonical",
+    "embedding_dim_stats", "embedding_quantize_int8", "funnel_conversion",
+    "gap_fill_interpolate", "heavy_hitter_tokens", "histogram_equidepth",
+    "minhash_recall_eval", "pack_sequences", "pandas_udaf_weighted_mean",
+    "quality_gopher_rules", "rebalance_classes", "rolling_zscore_anomaly",
+    "sample_stratified", "sample_stratified_hash", "sim_ann_ivf_hashseed",
+    "sketch_distinct_rollup", "skew_salted_agg", "snapshot_diff",
+    "source_lang_diversity", "source_mixing_weights",
+    "split_train_val_test", "streaming_cdc_upsert",
+    "streaming_kinesis_pipeline", "streaming_stream_stream_join",
+    "target_encode_loo", "term_salience_topk", "text_chunk_udtf",
+    "text_oov_rate", "text_pii_scrub", "text_repetition_ratio",
+    "tpch_q16_supplier_count", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer", "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
+    "triangle_count", "vocab_coverage", "zorder_morton_layout",
 })
 
 # Backwards-compatible alias (tests and notes from earlier rounds refer to

@@ -133,24 +133,33 @@ def list_stream_names(client) -> list[str]:
     return names
 
 
-def list_shard_ids(client, stream_name: str) -> list[str]:
-    """All shard ids of a stream, paginated 10 at a time via
-    ExclusiveStartShardId / HasMoreShards (KinesisUtils.java:63-96). Real
-    Kinesis pages DescribeStream; reading only the first page silently drops
-    every shard past it on wide streams."""
-    shard_ids: list[str] = []
+def list_shards(client, stream_name: str) -> list[dict]:
+    """All shard dicts of a stream (ShardId + resharding lineage:
+    ParentShardId / AdjacentParentShardId when present), paginated 10 at a
+    time via ExclusiveStartShardId / HasMoreShards (KinesisUtils.java:63-96).
+    Real Kinesis pages DescribeStream; reading only the first page silently
+    drops every shard past it on wide streams. After a SplitShard /
+    MergeShards the listing contains BOTH the closed parents (readable until
+    retention trims them) and their children — consumers must drain a parent
+    before starting its children to preserve per-key ordering."""
+    shards: list[dict] = []
     exclusive_start = None
     while True:
         kwargs = {"StreamName": stream_name, "Limit": 10}
         if exclusive_start is not None:
             kwargs["ExclusiveStartShardId"] = exclusive_start
         desc = client.describe_stream(**kwargs)["StreamDescription"]
-        page = [s["ShardId"] for s in desc.get("Shards", [])]
-        shard_ids.extend(page)
+        page = desc.get("Shards", [])
+        shards.extend(page)
         if not desc.get("HasMoreShards") or not page:
             break
-        exclusive_start = page[-1]
-    return shard_ids
+        exclusive_start = page[-1]["ShardId"]
+    return shards
+
+
+def list_shard_ids(client, stream_name: str) -> list[str]:
+    """Shard ids only — see list_shards for the paginated listing contract."""
+    return [s["ShardId"] for s in list_shards(client, stream_name)]
 
 
 def create_stream(client, stream_name: str, shard_count: int = 1) -> None:
@@ -266,6 +275,12 @@ class KinesisShardConsumer:
         self.cursor = cursor or MessiCursor.oldest()
         self.buffer: deque = deque()
         self.closed = False
+        # Resharding: set when GetRecords returns a null NextShardIterator —
+        # the shard was closed by a split/merge and is fully drained; no
+        # further fetches are possible (and the stale iterator must never be
+        # reused — it would re-read the final page). Children of this shard
+        # become eligible once every parent's consumer reports shard_ended.
+        self.shard_ended = False
         # observability counters (KinesisStreamingBuffer.java:50-52)
         self.requests = 0
         self.responses_handled = 0
@@ -306,7 +321,7 @@ class KinesisShardConsumer:
         """One GetRecords attempt; returns True if a request was issued.
         The error ladder is the reference's response handler
         (KinesisStreamingBuffer.java:113-240) with PollPolicy delays."""
-        if self.closed:
+        if self.closed or self.shard_ended:
             return False
         if len(self.buffer) >= self.policy.fetch_limit:
             return False  # F1: not enough space for a full page
@@ -337,6 +352,15 @@ class KinesisShardConsumer:
         nxt = resp.get("NextShardIterator")
         if nxt:
             self._next_iterator = nxt
+        else:
+            # null NextShardIterator: closed shard (split/merge) fully read.
+            self.shard_ended = True
+            for rec in records:
+                self.buffer.append(self._decode(rec))
+            if records:
+                self._last_seq = records[-1]["SequenceNumber"]
+                self.total_fetched += len(records)
+            return True
         if not records:
             behind_ms = resp.get("MillisBehindLatest", 0) or 0
             if behind_ms < self.policy.poll_interval_ms:
@@ -361,6 +385,8 @@ class KinesisShardConsumer:
         while True:
             if self.buffer:
                 return self.buffer.popleft()
+            if self.shard_ended:
+                return None  # closed shard fully drained: nothing will arrive
             now = self.clock()
             if now < self._next_fetch_at:
                 wait = min(self._next_fetch_at, deadline) - now

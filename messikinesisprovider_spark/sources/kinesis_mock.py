@@ -71,19 +71,17 @@ def _meta() -> dict:
     return {"RequestId": str(uuid.uuid4()), "HTTPStatusCode": 200}
 
 
-def _shard_for_key(pk: str, n_shards: int) -> int:
-    # Route by md5 of the partition key over equal hash-key ranges — the
-    # documented PutRecords contract (md5(partition key) -> 128-bit point).
-    h = int.from_bytes(hashlib.md5((pk or "").encode()).digest(), "big")
-    return min(n_shards - 1, h * n_shards // (MAX_HASH_KEY + 1))
-
-
 class MockKinesisClient:
     """In-memory boto3-`client("kinesis")` twin with real wire shapes."""
 
     def __init__(self, clock=None):
         self.clock = clock or time.time
         self._streams: dict[str, list[list[dict]]] = {}  # name -> shards -> records
+        # per-shard lineage/closure/range metadata, parallel to _streams:
+        # {"parents": [ids], "end": record-count-at-closure | None,
+        #  "hash": (lo, hi)}. parents[0] = ParentShardId, parents[1] (merges)
+        # = AdjacentParentShardId — the real DescribeStream lineage fields.
+        self._shard_meta: dict[str, list[dict]] = {}
         self._epoch = 0
         self._rate_limit_armed = False
         self._partial_failure_every: int | None = None
@@ -143,6 +141,22 @@ class MockKinesisClient:
             )
         return idx
 
+    def _route(self, stream: str, pk: str) -> int:
+        """Shard index for a partition key: md5 128-bit point over the OPEN
+        shards' hash ranges (closed parents accept no new records). For an
+        unresharded stream the stored ranges are the equal CreateStream
+        layout, so this is bit-identical to the original equal-range math."""
+        point = int.from_bytes(hashlib.md5((pk or "").encode()).digest(), "big")
+        for i, ent in enumerate(self._shard_meta[stream]):
+            lo, hi = ent["hash"]
+            if ent["end"] is None and lo <= point <= hi:
+                return i
+        raise MockClientError(
+            "PutRecords",
+            "InvalidArgumentException",
+            f"no open shard covers hash key {point}",
+        )
+
     def _require_stream(self, op: str, name: str) -> None:
         if name not in self._streams:
             raise MockClientError(
@@ -161,6 +175,85 @@ class MockKinesisClient:
                 "exists.",
             )
         self._streams[StreamName] = [[] for _ in range(ShardCount)]
+        width = (MAX_HASH_KEY + 1) // ShardCount
+        self._shard_meta[StreamName] = [
+            {
+                "parents": [],
+                "end": None,
+                "hash": (
+                    i * width,
+                    (i + 1) * width - 1 if i < ShardCount - 1 else MAX_HASH_KEY,
+                ),
+            }
+            for i in range(ShardCount)
+        ]
+        return {"ResponseMetadata": _meta()}
+
+    # -- resharding (SplitShard / MergeShards, public API reference shapes) --
+    def split_shard(self, StreamName: str, ShardToSplit: str, NewStartingHashKey: str) -> dict:
+        op = "SplitShard"
+        self._require_stream(op, StreamName)
+        idx = self._shard_index(op, StreamName, ShardToSplit)
+        ent = self._shard_meta[StreamName][idx]
+        if ent["end"] is not None:
+            raise MockClientError(
+                op,
+                "InvalidArgumentException",
+                f"Shard {ShardToSplit} in stream {StreamName} under account "
+                "000000000000 has already been closed",
+            )
+        lo, hi = ent["hash"]
+        try:
+            key = int(NewStartingHashKey)
+        except (TypeError, ValueError):
+            raise MockClientError(
+                op, "ValidationException", f"Invalid NewStartingHashKey: {NewStartingHashKey}"
+            )
+        if not lo < key <= hi:
+            raise MockClientError(
+                op,
+                "InvalidArgumentException",
+                f"NewStartingHashKey {NewStartingHashKey} is not within the "
+                f"hash key range of shard {ShardToSplit}",
+            )
+        ent["end"] = len(self._streams[StreamName][idx])
+        for child_range in ((lo, key - 1), (key, hi)):
+            self._streams[StreamName].append([])
+            self._shard_meta[StreamName].append(
+                {"parents": [ShardToSplit], "end": None, "hash": child_range}
+            )
+        return {"ResponseMetadata": _meta()}
+
+    def merge_shards(self, StreamName: str, ShardToMerge: str, AdjacentShardToMerge: str) -> dict:
+        op = "MergeShards"
+        self._require_stream(op, StreamName)
+        ia = self._shard_index(op, StreamName, ShardToMerge)
+        ib = self._shard_index(op, StreamName, AdjacentShardToMerge)
+        a, b = self._shard_meta[StreamName][ia], self._shard_meta[StreamName][ib]
+        if a["end"] is not None or b["end"] is not None:
+            raise MockClientError(
+                op, "InvalidArgumentException", "both shards must be OPEN to merge"
+            )
+        if a["hash"][1] + 1 != b["hash"][0] and b["hash"][1] + 1 != a["hash"][0]:
+            raise MockClientError(
+                op,
+                "InvalidArgumentException",
+                f"Shards {ShardToMerge} and {AdjacentShardToMerge} are not "
+                "adjacent in the hash key space",
+            )
+        a["end"] = len(self._streams[StreamName][ia])
+        b["end"] = len(self._streams[StreamName][ib])
+        self._streams[StreamName].append([])
+        self._shard_meta[StreamName].append(
+            {
+                "parents": [ShardToMerge, AdjacentShardToMerge],
+                "end": None,
+                "hash": (
+                    min(a["hash"][0], b["hash"][0]),
+                    max(a["hash"][1], b["hash"][1]),
+                ),
+            }
+        )
         return {"ResponseMetadata": _meta()}
 
     def list_streams(self, Limit: int = 100, ExclusiveStartStreamName: str | None = None) -> dict:
@@ -187,22 +280,27 @@ class MockKinesisClient:
         if ExclusiveStartShardId is not None:
             ids = [sid for sid in ids if sid > ExclusiveStartShardId]
         page = ids[:Limit]
-        width = (MAX_HASH_KEY + 1) // n
         shards = []
         for sid in page:
             i = int(sid.split("-")[1])
-            shards.append(
-                {
-                    "ShardId": sid,
-                    "HashKeyRange": {
-                        "StartingHashKey": str(i * width),
-                        "EndingHashKey": str(
-                            (i + 1) * width - 1 if i < n - 1 else MAX_HASH_KEY
-                        ),
-                    },
-                    "SequenceNumberRange": {"StartingSequenceNumber": "0" * 21},
-                }
-            )
+            ent = self._shard_meta[StreamName][i]
+            d = {
+                "ShardId": sid,
+                "HashKeyRange": {
+                    "StartingHashKey": str(ent["hash"][0]),
+                    "EndingHashKey": str(ent["hash"][1]),
+                },
+                "SequenceNumberRange": {"StartingSequenceNumber": "0" * 21},
+            }
+            if ent["parents"]:
+                d["ParentShardId"] = ent["parents"][0]
+            if len(ent["parents"]) > 1:
+                d["AdjacentParentShardId"] = ent["parents"][1]
+            if ent["end"] is not None:
+                d["SequenceNumberRange"]["EndingSequenceNumber"] = str(
+                    max(0, ent["end"] - 1)
+                ).zfill(21)
+            shards.append(d)
         return {
             "StreamDescription": {
                 "StreamName": StreamName,
@@ -250,7 +348,7 @@ class MockKinesisClient:
             data = rec["Data"]
             if isinstance(data, str):
                 data = data.encode()
-            idx = _shard_for_key(rec["PartitionKey"], len(shards))
+            idx = self._route(StreamName, rec["PartitionKey"])
             seq = len(shards[idx])
             shards[idx].append(
                 {
@@ -366,9 +464,16 @@ class MockKinesisClient:
             }
             for r in page
         ]
+        # Closed shard fully drained → NextShardIterator null (the real
+        # service's end-of-shard signal; consumers fail over to children).
+        ent = self._shard_meta[it["s"]][it["i"]]
+        if ent["end"] is not None and next_seq >= ent["end"]:
+            next_it = None
+        else:
+            next_it = self._pack_iterator(it["s"], it["i"], next_seq)
         return {
             "Records": out,
-            "NextShardIterator": self._pack_iterator(it["s"], it["i"], next_seq),
+            "NextShardIterator": next_it,
             "MillisBehindLatest": 1000 * max(0, len(records) - next_seq),
             "ResponseMetadata": _meta(),
         }

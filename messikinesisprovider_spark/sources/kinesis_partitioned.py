@@ -77,6 +77,42 @@ def _sidecar_write(metadatadir: str, gen: int, shard_id: str, last_seq: str) -> 
     os.replace(tmp, final)  # atomic publish
 
 
+def _closed_write(metadatadir: str, shard_id: str, last_seq: str) -> None:
+    """Durable end-of-shard marker (resharding): written when a task read a
+    closed shard to its null NextShardIterator. Lives OUTSIDE the gen=N
+    directories so commit()'s generation GC never erases it — a GC'd closure
+    would resurrect the drained parent in latestOffset with an empty start
+    and replay it from the initial position."""
+    closed_dir = os.path.join(metadatadir, "closed")
+    os.makedirs(closed_dir, exist_ok=True)
+    final = os.path.join(closed_dir, f"shard-{shard_id}.json")
+    if os.path.exists(final):
+        return
+    tmp = final + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"shard_id": shard_id, "last_seq": last_seq}, f)
+    os.replace(tmp, final)
+
+
+def _closed_scan(metadatadir: str) -> dict[str, str]:
+    """shard_id -> final sequence for every shard read to closure."""
+    closed_dir = os.path.join(metadatadir, "closed")
+    out: dict[str, str] = {}
+    if not os.path.isdir(closed_dir):
+        return out
+    for fname in os.listdir(closed_dir):
+        if not fname.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(closed_dir, fname)) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if rec.get("shard_id"):
+            out[rec["shard_id"]] = rec.get("last_seq", "")
+    return out
+
+
 def _sidecar_scan(metadatadir: str) -> tuple[int, dict[str, str]]:
     """(max generation seen, per-shard max last_seq across ALL generations).
 
@@ -143,6 +179,7 @@ def _read_shard_slice(part: KinesisShardSlice) -> Iterator[tuple]:
     last_seq = part.start_seq
     it = iterator_from(last_seq)
     rate_limit_tries = 0
+    shard_ended = False
     try:
         while True:
             try:
@@ -165,15 +202,21 @@ def _read_shard_slice(part: KinesisShardSlice) -> Iterator[tuple]:
                 msg = decode_record(rec, part.shard_id)
                 last_seq = rec["SequenceNumber"]
                 yield _to_row(msg, topic)
-            if not records and not resp.get("MillisBehindLatest", 0):
-                return  # the tip: batch ends here
             it = resp.get("NextShardIterator")
             if it is None:
-                return  # shard closed
+                # null NextShardIterator: the shard was closed by a split/
+                # merge and is now fully drained — record the durable closure
+                # so latestOffset retires it and unlocks its children.
+                shard_ended = True
+                return
+            if not records and not resp.get("MillisBehindLatest", 0):
+                return  # the tip: batch ends here
     finally:
         # report the end of this slice — also when nothing was read, so the
         # sidecar stays a complete per-shard map for latestOffset
         _sidecar_write(metadatadir, part.gen, part.shard_id, last_seq)
+        if shard_ended:
+            _closed_write(metadatadir, part.shard_id, last_seq)
 
 
 class KinesisPartitionedStreamReader(DataSourceStreamReader):
@@ -198,23 +241,53 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
             self._client = _make_client(self.options)
         return self._client
 
-    def _shard_ids(self) -> list[str]:
-        from .kinesis import list_shard_ids  # paginated (HasMoreShards loop)
+    def _eligible_shards(self, closed: dict[str, str]) -> list[str]:
+        """Shard ids this batch may read, honoring resharding semantics:
 
-        return list_shard_ids(self.client(), self.stream_name)
+        - a shard already read to closure (split/merge parent, durable
+          `closed/` marker) is retired — its slice would only rewrite an
+          empty sidecar entry forever;
+        - a child shard is held back until EVERY parent still present in the
+          listing is drained (parent-before-child, the per-key ordering
+          contract). A parent absent from the listing was trimmed by
+          retention — it cannot be read, so it does not block (the KCL
+          behavior).
+        """
+        from .kinesis import list_shards  # paginated (HasMoreShards loop)
+
+        shards = list_shards(self.client(), self.stream_name)
+        present = {s["ShardId"] for s in shards}
+        out = []
+        for s in shards:
+            sid = s["ShardId"]
+            if sid in closed:
+                continue
+            parents = [
+                p
+                for p in (s.get("ParentShardId"), s.get("AdjacentParentShardId"))
+                if p and p in present
+            ]
+            if any(p not in closed for p in parents):
+                continue
+            out.append(sid)
+        return out
 
     def initialOffset(self) -> dict:
-        return {"gen": 0, "shards": {sid: "" for sid in self._shard_ids()}}
+        return {
+            "gen": 0,
+            "shards": {sid: "" for sid in self._eligible_shards(_closed_scan(self.metadatadir))},
+        }
 
     def latestOffset(self) -> dict:
         # Tip discovery happens in executors, so "latest" = what the sidecar
         # reports + a new generation that makes the next batch visit every
-        # shard (re-enumerated, so resharding is picked up; new shards enter
-        # at "" = the configured initial position).
+        # eligible shard (re-enumerated, so resharding is picked up; new and
+        # newly-unlocked child shards enter at "" = the initial position).
         max_gen, seqs = _sidecar_scan(self.metadatadir)
+        closed = _closed_scan(self.metadatadir)
         return {
             "gen": max_gen + 1,
-            "shards": {sid: seqs.get(sid, "") for sid in self._shard_ids()},
+            "shards": {sid: seqs.get(sid, "") for sid in self._eligible_shards(closed)},
         }
 
     def partitions(self, start: dict, end: dict):

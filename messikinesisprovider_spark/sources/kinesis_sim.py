@@ -59,9 +59,21 @@ class ResourceNotFound(SimulatorError):
     error_code = "ResourceNotFoundException"
 
 
+class InvalidArgument(SimulatorError):
+    error_code = "InvalidArgumentException"
+
+
+MAX_HASH_KEY = (1 << 128) - 1
+
+
 def _shard_for_key(pk: str, n_shards: int) -> str:
     h = int.from_bytes(hashlib.md5((pk or "").encode()).digest()[:8], "big")
     return str(h % n_shards)
+
+
+def _hash_point(pk: str) -> int:
+    """128-bit md5 routing point — the documented PutRecords contract."""
+    return int.from_bytes(hashlib.md5((pk or "").encode()).digest(), "big")
 
 
 class FakeKinesisClient:
@@ -98,6 +110,39 @@ class FakeKinesisClient:
     def _streams(self) -> dict:
         return self._load(self._streams_path(), {})
 
+    # -- reshard metadata ----------------------------------------------------
+    # streams.json keeps its {name: [shard_id, ...]} shape (tests append to
+    # it directly); shard lineage/closure/hash-ranges live in a sidecar that
+    # exists only once a stream has been resharded. A shard absent from the
+    # sidecar of a resharded stream never happens (the first split/merge
+    # materializes entries for every existing shard); a stream without a
+    # sidecar behaves exactly as before round 6 (legacy md5%n routing, no
+    # closed shards) so resharding is zero-risk for unresharded streams.
+    def _reshard_path(self, stream: str) -> str:
+        return os.path.join(self.statedir, f"reshard_{stream}.json")
+
+    def _reshard(self, stream: str) -> dict | None:
+        return self._load(self._reshard_path(stream), None)
+
+    def _materialize_reshard(self, stream: str, shards: list[str]) -> dict:
+        """First split/merge on a stream: give every existing shard an equal
+        slice of the 128-bit hash space (the real service's CreateStream
+        layout), open, parentless."""
+        meta = self._reshard(stream)
+        if meta is not None:
+            return meta
+        n = len(shards)
+        width = (MAX_HASH_KEY + 1) // n
+        meta = {}
+        for i, sid in enumerate(shards):
+            hi = (i + 1) * width - 1 if i < n - 1 else MAX_HASH_KEY
+            meta[sid] = {"parents": [], "end_count": None, "hash": [str(i * width), str(hi)]}
+        return meta
+
+    def _next_shard_ids(self, shards: list[str], k: int) -> list[str]:
+        base = max((int(s) for s in shards if s.isdigit()), default=len(shards) - 1) + 1
+        return [str(base + i) for i in range(k)]
+
     def _faults(self) -> dict:
         return self._load(self._faults_path(), {"rate_limit_next": False, "epoch": 0})
 
@@ -128,6 +173,78 @@ class FakeKinesisClient:
         page = names[:Limit]
         return {"StreamNames": page, "HasMoreStreams": len(names) > len(page)}
 
+    # -- resharding (SplitShard / MergeShards, AWS API reference shapes) -----
+    # The reference simulator sidesteps resharding entirely (single shard,
+    # KinesisAsyncClientSimulator.java:85-87,113-115); real streams reshard,
+    # and the consumer contract is parent-before-child delivery. The closed
+    # parent keeps its records (readable until retention) but accepts no new
+    # ones; GetRecords returns NextShardIterator=None once a closed shard is
+    # drained — the signal consumers use to fail over to the children.
+    # Like the real service we skip nothing else: status transitions
+    # (UPDATING) are elided — streams are immediately ACTIVE, same as
+    # create_stream.
+    def split_shard(self, StreamName: str, ShardToSplit: str, NewStartingHashKey: str) -> dict:
+        streams = self._streams()
+        if StreamName not in streams:
+            raise ResourceNotFound(f"streamName does not exist: '{StreamName}'")
+        shards = streams[StreamName]
+        if ShardToSplit not in shards:
+            raise ResourceNotFound(f"stream does not contain shardId: '{ShardToSplit}'")
+        meta = self._materialize_reshard(StreamName, shards)
+        ent = meta[ShardToSplit]
+        if ent["end_count"] is not None:
+            raise InvalidArgument(f"Shard {ShardToSplit} is not OPEN")
+        lo, hi = int(ent["hash"][0]), int(ent["hash"][1])
+        key = int(NewStartingHashKey)
+        if not lo < key <= hi:
+            raise InvalidArgument(
+                f"NewStartingHashKey {NewStartingHashKey} is not within the "
+                f"hash key range of shard {ShardToSplit} ({lo}..{hi})"
+            )
+        child_lo, child_hi = self._next_shard_ids(shards, 2)
+        ent["end_count"] = self._shard_count(StreamName, ShardToSplit)
+        meta[child_lo] = {"parents": [ShardToSplit], "end_count": None,
+                          "hash": [str(lo), str(key - 1)]}
+        meta[child_hi] = {"parents": [ShardToSplit], "end_count": None,
+                          "hash": [str(key), str(hi)]}
+        shards.extend([child_lo, child_hi])
+        self._store(self._reshard_path(StreamName), meta)
+        self._store(self._streams_path(), streams)
+        return {}
+
+    def merge_shards(self, StreamName: str, ShardToMerge: str, AdjacentShardToMerge: str) -> dict:
+        streams = self._streams()
+        if StreamName not in streams:
+            raise ResourceNotFound(f"streamName does not exist: '{StreamName}'")
+        shards = streams[StreamName]
+        for sid in (ShardToMerge, AdjacentShardToMerge):
+            if sid not in shards:
+                raise ResourceNotFound(f"stream does not contain shardId: '{sid}'")
+        meta = self._materialize_reshard(StreamName, shards)
+        a, b = meta[ShardToMerge], meta[AdjacentShardToMerge]
+        if a["end_count"] is not None or b["end_count"] is not None:
+            raise InvalidArgument("both shards must be OPEN to merge")
+        a_lo, a_hi = int(a["hash"][0]), int(a["hash"][1])
+        b_lo, b_hi = int(b["hash"][0]), int(b["hash"][1])
+        if a_hi + 1 != b_lo and b_hi + 1 != a_lo:
+            raise InvalidArgument(
+                f"shards {ShardToMerge} and {AdjacentShardToMerge} are not "
+                "adjacent in the hash key space"
+            )
+        (child,) = self._next_shard_ids(shards, 1)
+        a["end_count"] = self._shard_count(StreamName, ShardToMerge)
+        b["end_count"] = self._shard_count(StreamName, AdjacentShardToMerge)
+        meta[child] = {
+            # parents[0] = ParentShardId, parents[1] = AdjacentParentShardId
+            "parents": [ShardToMerge, AdjacentShardToMerge],
+            "end_count": None,
+            "hash": [str(min(a_lo, b_lo)), str(max(a_hi, b_hi))],
+        }
+        shards.append(child)
+        self._store(self._reshard_path(StreamName), meta)
+        self._store(self._streams_path(), streams)
+        return {}
+
     def describe_stream(
         self,
         StreamName: str,
@@ -146,11 +263,33 @@ class FakeKinesisClient:
         if ExclusiveStartShardId is not None:
             shards = [sid for sid in shards if sid > ExclusiveStartShardId]
         page = shards[:Limit]
+        meta = self._reshard(StreamName) or {}
+        out = []
+        for sid in page:
+            ent = meta.get(sid)
+            d: dict = {"ShardId": sid}
+            if ent:
+                if ent["parents"]:
+                    d["ParentShardId"] = ent["parents"][0]
+                if len(ent["parents"]) > 1:
+                    d["AdjacentParentShardId"] = ent["parents"][1]
+                d["HashKeyRange"] = {
+                    "StartingHashKey": ent["hash"][0],
+                    "EndingHashKey": ent["hash"][1],
+                }
+                seq_range = {"StartingSequenceNumber": format_sequence(0)}
+                if ent["end_count"] is not None:
+                    # closed shard: the range has an end (the AWS closure marker)
+                    seq_range["EndingSequenceNumber"] = format_sequence(
+                        max(0, ent["end_count"] - 1)
+                    )
+                d["SequenceNumberRange"] = seq_range
+            out.append(d)
         return {
             "StreamDescription": {
                 "StreamName": StreamName,
                 "StreamStatus": "ACTIVE",
-                "Shards": [{"ShardId": sid} for sid in page],
+                "Shards": out,
                 "HasMoreShards": len(shards) > len(page),
             }
         }
@@ -188,6 +327,27 @@ class FakeKinesisClient:
         if StreamName not in streams:
             raise ResourceNotFound(f"streamName does not exist: '{StreamName}'")
         shards = streams[StreamName]
+        meta = self._reshard(StreamName)
+        if meta is not None:
+            # resharded stream: route by 128-bit hash point over OPEN shards
+            # (closed parents accept no new records — the AWS contract)
+            open_ranges = [
+                (int(ent["hash"][0]), int(ent["hash"][1]), sid)
+                for sid, ent in meta.items()
+                if ent["end_count"] is None
+            ]
+
+            def route(pk: str) -> str:
+                point = _hash_point(pk)
+                for lo, hi, sid in open_ranges:
+                    if lo <= point <= hi:
+                        return sid
+                raise InvalidArgument(f"no open shard covers hash point of '{pk}'")
+        else:
+
+            def route(pk: str) -> str:
+                return _shard_for_key(pk, len(shards))
+
         now_ms = int(self.clock() * 1000)
         results = []
         appends: dict[str, list[dict]] = {}
@@ -196,7 +356,7 @@ class FakeKinesisClient:
             data = rec["Data"]
             if isinstance(data, str):
                 data = data.encode()
-            sid = _shard_for_key(rec["PartitionKey"], len(shards))
+            sid = route(rec["PartitionKey"])
             seq = format_sequence(counts[sid])
             counts[sid] += 1
             appends.setdefault(sid, []).append(
@@ -284,9 +444,17 @@ class FakeKinesisClient:
             }
             for r in page
         ]
+        # Closed shard fully drained → NextShardIterator null (the AWS
+        # end-of-shard signal consumers fail over to the children on).
+        meta = self._reshard(stream)
+        ent = (meta or {}).get(shard_id)
+        if ent and ent["end_count"] is not None and next_seq >= ent["end_count"]:
+            next_it = None
+        else:
+            next_it = f"{stream}|{shard_id};{format_sequence(next_seq)};{faults.get('epoch', 0)}"
         return {
             "Records": out,
-            "NextShardIterator": f"{stream}|{shard_id};{format_sequence(next_seq)};{faults.get('epoch', 0)}",
+            "NextShardIterator": next_it,
             "MillisBehindLatest": 1000 * max(0, len(records) - next_seq),
         }
 

@@ -195,18 +195,53 @@ class KinesisStreamReader(SimpleDataSourceStreamReader):
         return c
 
     def read(self, start: dict):
+        """One microbatch. Resharding (parent-before-child): a split/merge
+        child is held back until EVERY parent still present in the listing
+        is drained to its null NextShardIterator (consumer.shard_ended).
+        Eligibility is decided inside a worklist pass — a parent that
+        reaches its end during THIS batch unlocks its children in the same
+        batch, and the pass order never matters (the worklist re-scans until
+        no shard makes progress). A parent absent from the listing was
+        trimmed by retention and cannot block (the KCL rule). Drained
+        parents stay listed but cost nothing: their consumers are
+        shard_ended no-ops."""
+        from .kinesis import list_shards
+
+        shards = list_shards(self.client(), self.stream_name)
+        present = {s["ShardId"] for s in shards}
+
+        def drained(pid: str | None) -> bool:
+            if not pid or pid not in present:
+                return True
+            c = self._consumers.get(pid)
+            return c is not None and c.shard_ended
+
         rows: list[tuple] = []
         end = dict(start)
-        for sid in self._shard_ids():
-            last = start.get(sid, "")
-            c = self._consumer(sid, last)
-            c.fill_once()  # respects F1 space, F3 pacing, F4/F5 backoff
-            while c.buffer:
-                msg = c.buffer.popleft()
-                rows.append(_to_row(msg, self.topic))
-                last = msg["provider"]["sequence_number"]
-            end[sid] = last
-            c._spark_offset = last
+        pending = list(shards)
+        progress = True
+        while pending and progress:
+            progress = False
+            held = []
+            for s in pending:
+                sid = s["ShardId"]
+                if not (
+                    drained(s.get("ParentShardId"))
+                    and drained(s.get("AdjacentParentShardId"))
+                ):
+                    held.append(s)
+                    continue
+                progress = True
+                last = start.get(sid, "")
+                c = self._consumer(sid, last)
+                c.fill_once()  # respects F1 space, F3 pacing, F4/F5 backoff
+                while c.buffer:
+                    msg = c.buffer.popleft()
+                    rows.append(_to_row(msg, self.topic))
+                    last = msg["provider"]["sequence_number"]
+                end[sid] = last
+                c._spark_offset = last
+            pending = held
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict):

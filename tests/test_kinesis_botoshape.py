@@ -75,8 +75,10 @@ def test_client_error_shape_and_classification():
     exc = ei.value
     assert error_code(exc) == "ResourceNotFoundException"
     assert exc.response["ResponseMetadata"]["HTTPStatusCode"] == 400
-    assert "An error occurred (ResourceNotFoundException) when calling the "
-    assert "DescribeStream operation" in str(exc)
+    assert (
+        "An error occurred (ResourceNotFoundException) when calling the "
+        "DescribeStream operation" in str(exc)
+    )
 
 
 def test_create_existing_stream_is_resource_in_use():

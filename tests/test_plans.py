@@ -270,6 +270,14 @@ _BNLJ_ALLOWED = {
     "bpe_merge_step", "sketch_kmv_setops", "triangle_count",
     # 16-row constant quantizer broadcasts
     "sim_ann_ivf_hashseed", "semdedup_cells", "sim_ann_ivf",
+    # round 6: the adaptive SemDeDup centroid broadcast — ladder-sized
+    # (16..4096 rows, hard cap), a capped quantizer build side independent
+    # of fact-table scale (the semdedup_cells class with a bounded k)
+    "semdedup_adaptive",
+    # round 6: 1-row scalar broadcasts — the Kruskal-Wallis tie-correction
+    # row, Cramér's grand-total row, the mixing-temperature total and
+    # normalizer rows (all O(1) build sides, the token_pmi class)
+    "kruskal_wallis_h", "cramers_v_association", "source_mixing_temperature",
     # guarded all-pairs exact baselines
     "dedup_embedding_cosine", "sim_topk_bruteforce",
     # rounds 3n-3r — scalar broadcasts (1-row totals/bounds/report aggregates:

@@ -26,7 +26,24 @@ order:
    scale exactly 10x.
 
 Usage: python tools/make_sfbig.py [src_dir] [dst_dir] [factor]
+                                  [--open-vocab] [--tables=t1,t2]
 Defaults: /root/testdata/sf0.1 /tmp/sf1 10
+
+--open-vocab (round-6 verdict item 4): copies k>0 additionally suffix every
+word with "~k", so each copy introduces NEW vocabulary — the Heaps'-law
+behavior of a real growing corpus. Closed-vocabulary fixtures make every
+shingle's document frequency grow linearly with the corpus, which degrades
+exact prefix-filter set-similarity joins quadratically BY CONSTRUCTION
+(sum-of-df² over prefix tokens); the open-vocab fixture measures the plan
+against realistic df growth instead. Timing-only fixture: word lengths (and
+hence n_chars consistency) change, so it is NOT parity-suitable.
+
+--tables=a,b (round-6 verdict item 8): multiply only the named fact tables;
+every other table is copied single-copy. Used for the fourth scaling decade
+(documents/embeddings x100) where multiplying lineitem/orders 100x would
+cost minutes of fixture build for queries that never read them. The doc_id/
+vec_id id family is self-contained (no other table references it), so
+referential integrity holds.
 
 The writer preserves each source file's arrow schema bit-for-bit (the
 events.ts physical-type gotcha in the verify notes), so readers see the same
@@ -43,9 +60,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-FACTOR = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+_FLAGS = [a for a in sys.argv[1:] if a.startswith("--")]
+_ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SRC = _ARGS[0] if len(_ARGS) > 0 else "/root/testdata/sf0.1"
+DST = _ARGS[1] if len(_ARGS) > 1 else "/tmp/sf1"
+FACTOR = int(_ARGS[2]) if len(_ARGS) > 2 else 10
+OPEN_VOCAB = "--open-vocab" in _FLAGS
+ONLY_TABLES = None
+for f in _FLAGS:
+    if f.startswith("--tables="):
+        ONLY_TABLES = set(f[len("--tables="):].split(","))
 
 # id family -> (table, column) pairs that must move together, with the
 # offset stride = dense domain size of the family at sf0.1 (min id is 0).
@@ -101,7 +125,12 @@ def _permute_texts(tbl: pa.Table, k: int) -> pa.Table:
     multiset, length (texts are single-spaced; verified n_chars==len(text)
     on the source) and vocabulary are preserved; shingle continuity is not —
     so copies are NOT near-duplicates of each other and dedup joins scale
-    with true content growth, not with synthetic cloning."""
+    with true content growth, not with synthetic cloning.
+
+    --open-vocab additionally suffixes every word with "~k": copy k's
+    vocabulary is disjoint from every other copy's, so per-shingle document
+    frequency stays CONSTANT as the corpus grows (Heaps'-law growth) instead
+    of growing linearly (the closed-31-word degeneracy)."""
     idx_text = tbl.schema.get_field_index("text")
     idx_id = tbl.schema.get_field_index("doc_id")
     texts = tbl.column(idx_text).to_pylist()
@@ -112,6 +141,8 @@ def _permute_texts(tbl: pa.Table, k: int) -> pa.Table:
             out.append(None)
             continue
         words = text.split(" ")
+        if OPEN_VOCAB:
+            words = [f"{w}~{k}" for w in words]
         rng = np.random.default_rng((k << 32) ^ (doc_id & 0xFFFFFFFF))
         out.append(" ".join(words[i] for i in rng.permutation(len(words))))
     return tbl.set_column(idx_text, tbl.schema.field(idx_text), pa.array(out, type=tbl.schema.field(idx_text).type))
@@ -140,12 +171,14 @@ def main() -> None:
     os.makedirs(DST, exist_ok=True)
     strides = _family_strides(SRC)
     print("id-family strides:", strides)
-    for name in COPY_UNCHANGED:
+    multiply = [t for t in FACT_TABLES if ONLY_TABLES is None or t in ONLY_TABLES]
+    single = COPY_UNCHANGED + [t for t in FACT_TABLES if t not in multiply]
+    for name in single:
         src = os.path.join(SRC, f"{name}.parquet")
         tbl = pq.read_table(src)
         pq.write_table(tbl, os.path.join(DST, f"{name}.parquet"))
-        print(f"{name}: {tbl.num_rows} rows (dimension, single copy)")
-    for name in FACT_TABLES:
+        print(f"{name}: {tbl.num_rows} rows (single copy)")
+    for name in multiply:
         src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
         copies = []
         for k in range(FACTOR):
@@ -159,6 +192,14 @@ def main() -> None:
         assert big.schema.equals(src.schema), f"{name}: schema drifted"
         pq.write_table(big, os.path.join(DST, f"{name}.parquet"))
         print(f"{name}: {src.num_rows} -> {big.num_rows} rows")
+    # Completion marker, written LAST: consumers (tools/scaling.py) treat a
+    # directory without it as a partial run and regenerate, so an interrupted
+    # build can never be silently timed against missing/stale tables.
+    with open(os.path.join(DST, "_COMPLETE"), "w") as f:
+        f.write(
+            f"src={SRC} factor={FACTOR} open_vocab={OPEN_VOCAB} "
+            f"multiplied={','.join(multiply)}\n"
+        )
     print(f"wrote sf{FACTOR}x fixture to {DST}")
 
 

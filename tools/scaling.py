@@ -227,6 +227,8 @@ QUERIES = [
     "kendall_tau_exact",
     "acf_daily_lags",
     "range_join_preagg",
+    # round 6
+    "semdedup_adaptive",
 ]
 
 # Third decade (round 5): the scale-tagged subset re-timed on the synthetic
@@ -241,9 +243,13 @@ BIG_QUERIES = [
     "applyinarrow_group_digest",
     "sketch_agms_join_size",
     "heaps_law_curve",
-    # joins
+    # joins — range_join_binned (pair-output-bound on this densifying
+    # fixture: ~1.3e9 matched pairs at sf1) is retired from the third-decade
+    # table in favor of its registered linear twin range_join_preagg
+    # (round-5 verdict item 6); the binned pattern demo stays registered
+    # and timed on the real three-SF decades above.
     "join_multiway",
-    "range_join_binned",
+    "range_join_preagg",
     "skew_salted_join",
     "dpp_dim_filter_join",
     "setsim_prefix_filter_join",
@@ -253,15 +259,17 @@ BIG_QUERIES = [
     "percentile_cont_exact",
     "sessionize_gaps",
     "percent_rank_cume",
-    # dedup
+    # dedup — semdedup_cells (fixed 16-cell count, 14x on 10x data) is
+    # retired from the third decade in favor of its registered adaptive
+    # twin semdedup_adaptive (round-5 verdict items 1+6).
     "dedup_exact",
     "dedup_minhash_lsh",
-    "semdedup_cells",
+    "semdedup_adaptive",
     "dedup_winnowing_overlap",
     "url_canonicalize_dedup",
-    # similarity / ANN
+    # similarity / ANN — knn_graph_build (fixed 16-bit banding, 19x) is
+    # retired in favor of knn_graph_adaptive (round-5 item 6).
     "sim_ann_ivf_hashseed",
-    "knn_graph_build",
     "knn_graph_adaptive",
     "sim_ann_pq_adc",
     "tfidf_topk_pairs",
@@ -297,21 +305,82 @@ BIG_QUERIES = [
 ]
 
 
-def _ensure_sfbig() -> bool:
-    if os.path.isdir(BIG_DIR) and os.path.exists(os.path.join(BIG_DIR, "lineitem.parquet")):
+_SFBIG_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# Round-6 verdict item 4: the open-vocab x10 fixture — every copy brings new
+# vocabulary (Heaps'-law growth), so per-shingle document frequency stays
+# constant and the exact prefix-filter join is measured against realistic df
+# growth instead of the closed-31-word degeneracy.
+OV_DIR = os.environ.get("SPARK_GRAFT_SFOV_DIR", "/tmp/sf1ov")
+OV_QUERIES = ["setsim_prefix_filter_join"]
+
+# Round-6 verdict item 8: a FOURTH decade for the dedup/ANN scale paths only
+# — documents/embeddings multiplied 100x over sf0.1 (other tables stay
+# sf0.1-sized; the doc/vec id family is self-contained so FKs hold).
+D4_DIR = os.environ.get("SPARK_GRAFT_SF4_DIR", "/tmp/sf10de")
+D4_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "semdedup_adaptive",
+    "knn_graph_adaptive",
+    "sim_ann_ivf_hashseed",
+    "sim_ann_pq_adc",
+    "dedup_winnowing_overlap",
+    "url_canonicalize_dedup",
+    "tfidf_topk_pairs",
+]
+
+
+def _ensure_fixture(dst: str, extra_args: list[str], marker_substrs: list[str]) -> bool:
+    """A fixture only counts as present when make_sfbig's completion marker
+    (written after the last table) exists, every table file exists, AND the
+    marker records the expected variant — a partially-generated or
+    wrong-variant directory must regenerate, never silently feed timings."""
+    marker = os.path.join(dst, "_COMPLETE")
+    complete = os.path.exists(marker) and all(
+        os.path.exists(os.path.join(dst, f"{t}.parquet")) for t in _SFBIG_TABLES
+    )
+    if complete:
+        with open(marker) as f:
+            txt = f.read()
+        complete = all(s in txt for s in marker_substrs)
+    if complete:
         return True
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
     r = subprocess.run(
-        [sys.executable, os.path.join(here, "make_sfbig.py"), SFS[-1], BIG_DIR],
+        [sys.executable, os.path.join(here, "make_sfbig.py"), SFS[-1], dst, *extra_args],
         capture_output=True,
         text=True,
     )
     if r.returncode != 0:
-        print(f"sfbig generation failed, skipping third decade:\n{r.stderr[-2000:]}")
+        print(f"fixture generation for {dst} failed, skipping:\n{r.stderr[-2000:]}")
         return False
     return True
+
+
+def _ensure_sfbig() -> bool:
+    return _ensure_fixture(
+        BIG_DIR, ["10"], ["open_vocab=False", "multiplied=customer,"]
+    )
+
+
+def _ensure_sfov() -> bool:
+    return _ensure_fixture(
+        OV_DIR, ["10", "--open-vocab"], ["open_vocab=True", "multiplied=customer,"]
+    )
+
+
+def _ensure_sf4() -> bool:
+    return _ensure_fixture(
+        D4_DIR,
+        ["100", "--tables=documents,embeddings"],
+        ["factor=100", "open_vocab=False", "multiplied=documents,embeddings"],
+    )
 
 
 def main():
@@ -333,17 +402,28 @@ def main():
                 best = dt if best is None else min(best, dt)
             per_sf.append(round(best, 3))
         results[name] = per_sf
-    big_results: dict[str, float] = {}
-    if _ensure_sfbig():
-        for name in BIG_QUERIES:
+    def _time_on(names: list[str], sf_dir: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
             best = None
             for _ in range(2):
                 spark.catalog.clearCache()
                 t0 = time.time()
-                specs[name].fn(spark, BIG_DIR).write.format("noop").mode("overwrite").save()
+                specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
-            big_results[name] = round(best, 3)
+            out[name] = round(best, 3)
+        return out
+
+    big_results: dict[str, float] = {}
+    if _ensure_sfbig():
+        big_results = _time_on(BIG_QUERIES, BIG_DIR)
+    ov_results: dict[str, float] = {}
+    if _ensure_sfov():
+        ov_results = _time_on(OV_QUERIES, OV_DIR)
+    d4_results: dict[str, float] = {}
+    if big_results and _ensure_sf4():
+        d4_results = _time_on(D4_QUERIES, D4_DIR)
     lines = [
         "# SCALING — wall time across scale factors (local[32], min of 2 runs)",
         "",
@@ -367,9 +447,46 @@ def main():
             lines.append(f"| {name} | {a} | {b} | {c} | {ratio}x | {d} | {big_ratio} |")
         else:
             lines.append(f"| {name} | {a} | {b} | {c} | {ratio}x | | |")
+    if ov_results:
+        lines += [
+            "",
+            "## Open-vocabulary decade (round-6 item 4)",
+            "",
+            "`/tmp/sf1ov` = sf0.1 x10 with every copy's words suffixed `~k`:",
+            "vocabulary grows with the corpus (Heaps' law), so per-shingle",
+            "document frequency stays constant — the realistic regime for",
+            "exact prefix-filter set-similarity. The closed-vocab sf1 row",
+            "above degrades by construction (every shingle's df grows",
+            "linearly; candidate groups are sum-of-df²); this row shows the",
+            "same plan on realistic df growth.",
+            "",
+            "| query | sf0.1 s | sf1ov s | 0.1→1.0ov ratio |",
+            "|---|---|---|---|",
+        ]
+        for name, t in ov_results.items():
+            base = results[name][2] if name in results else None
+            r = f"{round(t / base, 2)}x" if base else "n/a"
+            lines.append(f"| {name} | {base} | {t} | {r} |")
+    if d4_results:
+        lines += [
+            "",
+            "## Fourth decade — dedup/ANN scale paths (round-6 item 8)",
+            "",
+            "`/tmp/sf10de` = documents/embeddings x100 over sf0.1 (500k docs /",
+            "200k vectors; other tables sf0.1-sized — these queries read only",
+            "the text/embedding tables). Ratio is vs the sf1 column (10x more",
+            "documents/embeddings than sf1), so ~10x = linear.",
+            "",
+            "| query | sf1 s | sf10de s | 1.0→10 ratio |",
+            "|---|---|---|---|",
+        ]
+        for name, t in d4_results.items():
+            base = big_results.get(name)
+            r = f"{round(t / base, 2)}x" if base else "n/a"
+            lines.append(f"| {name} | {base} | {t} | {r} |")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({"three_sf": results, "sf1": big_results}))
+    print(json.dumps({"three_sf": results, "sf1": big_results, "sf1ov": ov_results, "sf10de": d4_results}))
     print("SCALING.md written")
 
 
