@@ -339,6 +339,21 @@ HEADLINE = [
     "range_join_preagg",
     # round 6
     "semdedup_adaptive",
+    "dedup_minhash_adaptive",
+    "kruskal_wallis_h",
+    "welch_t_test",
+    "window_count_distinct",
+    "dsir_importance_weights",
+    "ngram_novelty_eval",
+    "quality_c4_rules",
+    "dq_referential_orphans",
+    "streaming_kinesis_reshard_pipeline",
+    "streaming_kinesis_write_pipeline",
+    "graph_connected_components",
+    "asof_join_tolerance",
+    "drawdown_running_max",
+    "funnel_time_bounded",
+    "embedding_source_centroid_dist",
     "revenue_bridge_monthly",
     "pareto_8020_revenue",
     "eval_ngram_precision_bleu",

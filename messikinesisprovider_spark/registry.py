@@ -242,6 +242,9 @@ def all_specs() -> dict[str, QuerySpec]:
     from .streaming import verified14 as _verified14  # noqa: F401  (round 6, appended)
     from .operators import pipeline81  # noqa: F401  (round 6, appended)
     from .operators import pipeline82  # noqa: F401  (round 6, appended)
+    from .operators import pipeline83  # noqa: F401  (round 6, appended)
+    from .operators import pipeline84  # noqa: F401  (round 6, appended)
+    from .operators import pipeline85  # noqa: F401  (round 6, appended)
 
     # Driver-coverage rotation (rounds 4-5): the driver's correctness harness
     # executes the FIRST 50 registry entries each round, so without rotation

@@ -84,6 +84,30 @@ class FakeKinesisClient:
         self.clock = clock or time.time  # epoch seconds; injectable for tests
         os.makedirs(statedir, exist_ok=True)
 
+    # -- cross-process serialization ---------------------------------------
+    # The real service serializes writes server-side (per-shard sequence
+    # assignment is atomic). This broker's state is shared FILES, and since
+    # round 6 the DataSourceWriter publishes from PARALLEL executor worker
+    # processes — so every mutating API takes an exclusive flock on the
+    # state directory: sequence numbers stay dense and unique, appends
+    # never interleave mid-line, and the count sidecar can't be torn.
+    # Readers take the same lock (cheap here) so they never observe a
+    # half-flushed append.
+    def _lock(self):
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def held():
+            with open(os.path.join(self.statedir, ".lock"), "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+
+        return held()
+
     # -- state files -------------------------------------------------------
     def _streams_path(self) -> str:
         return os.path.join(self.statedir, "streams.json")
@@ -102,7 +126,7 @@ class FakeKinesisClient:
             return default
 
     def _store(self, path: str, obj) -> None:
-        tmp = path + ".tmp"
+        tmp = f"{path}.tmp-{os.getpid()}"  # per-process: parallel writers
         with open(tmp, "w") as f:
             json.dump(obj, f)
         os.replace(tmp, path)
@@ -184,6 +208,12 @@ class FakeKinesisClient:
     # (UPDATING) are elided — streams are immediately ACTIVE, same as
     # create_stream.
     def split_shard(self, StreamName: str, ShardToSplit: str, NewStartingHashKey: str) -> dict:
+        with self._lock():
+            return self._split_shard_locked(StreamName, ShardToSplit, NewStartingHashKey)
+
+    def _split_shard_locked(
+        self, StreamName: str, ShardToSplit: str, NewStartingHashKey: str
+    ) -> dict:
         streams = self._streams()
         if StreamName not in streams:
             raise ResourceNotFound(f"streamName does not exist: '{StreamName}'")
@@ -213,6 +243,12 @@ class FakeKinesisClient:
         return {}
 
     def merge_shards(self, StreamName: str, ShardToMerge: str, AdjacentShardToMerge: str) -> dict:
+        with self._lock():
+            return self._merge_shards_locked(StreamName, ShardToMerge, AdjacentShardToMerge)
+
+    def _merge_shards_locked(
+        self, StreamName: str, ShardToMerge: str, AdjacentShardToMerge: str
+    ) -> dict:
         streams = self._streams()
         if StreamName not in streams:
             raise ResourceNotFound(f"streamName does not exist: '{StreamName}'")
@@ -323,6 +359,10 @@ class FakeKinesisClient:
             return sum(1 for line in f if line.strip())
 
     def put_records(self, StreamName: str, Records: list[dict]) -> dict:
+        with self._lock():
+            return self._put_records_locked(StreamName, Records)
+
+    def _put_records_locked(self, StreamName: str, Records: list[dict]) -> dict:
         streams = self._streams()
         if StreamName not in streams:
             raise ResourceNotFound(f"streamName does not exist: '{StreamName}'")
@@ -418,6 +458,10 @@ class FakeKinesisClient:
     def get_records(self, ShardIterator: str, Limit: int = 1000) -> dict:
         if not 1 <= Limit <= 10000:
             raise ValueError("limit must be between 1 and 10000")
+        with self._lock():
+            return self._get_records_locked(ShardIterator, Limit)
+
+    def _get_records_locked(self, ShardIterator: str, Limit: int) -> dict:
         stream, rest = ShardIterator.split("|", 1)
         shard_id, seq_s, epoch_s = rest.split(";")
         faults = self._faults()

@@ -333,6 +333,22 @@ class KinesisMessiDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return KinesisStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        """Batch write path: df.write.format("kinesismessi").save() —
+        executor-side chunked PutRecords with the failed-subset retry loop
+        (S1/S2); rows need partition_key + payload columns."""
+        from .kinesis_writer import KinesisBatchWriter
+
+        return KinesisBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        """Streaming write path: df.writeStream.format("kinesismessi") —
+        one chunked publish per microbatch partition; checkpointed replay +
+        downstream ULID dedup gives effectively-once."""
+        from .kinesis_writer import KinesisStreamWriter
+
+        return KinesisStreamWriter(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(KinesisMessiDataSource)

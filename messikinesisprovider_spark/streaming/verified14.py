@@ -142,3 +142,102 @@ def streaming_kinesis_reshard_pipeline(spark: SparkSession, sf_dir: str) -> Data
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct(pk_decode(F.col("user_key"))).alias("n_users"),
     )
+
+
+@register(
+    "streaming_kinesis_write_pipeline",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Spark-NATIVE producer path: events Arrow-encoded to wire "
+    "bytes in executors and published via df.write.format('kinesismessi') "
+    "(the PySpark 4 DataSourceWriter — chunked PutRecords + failed-subset "
+    "retry per partition), then read back through the executor-parallel "
+    "reader; oracle = batch aggregation of the source table",
+    tags=("streaming", "kinesis", "producer", "writer", "verified"),
+)
+def streaming_kinesis_write_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both halves of the S1-S5 story through real Spark APIs: the PRODUCER
+    is `df.write.format("kinesismessi")` — wire encoding happens in an
+    Arrow-batched stage (`wire.encode_column`) and the PutRecords chunking/
+    retry runs inside executor write tasks, nothing driver-side — and the
+    CONSUMER is the partitioned streaming reader. The oracle aggregates the
+    same events straight from parquet, so the encode → route → publish →
+    fetch → decode round trip must be lossless and duplicate-free.
+
+    Scale: the write fans out per input partition (each opens its own
+    transport, 500-record PutRecords ceiling), the read fans out per shard;
+    neither path ever collects rows to the driver."""
+    from .. import wire
+    from ..operators.relational import events_tbl
+    from ..sources.kinesis_sim import FakeKinesisClient
+    from ..sources.kinesis_source import register as register_source
+
+    statedir = tempfile.mkdtemp(prefix="kinesis_writer_")
+    FakeKinesisClient(statedir).create_stream(StreamName="events", ShardCount=4)
+    register_source(spark)
+
+    env = events_tbl(spark, sf_dir).select(
+        F.coalesce(F.col("user_id").cast("string"), F.lit(_NULL_PK)).alias(
+            "partition_key"
+        ),
+        F.col("event_id").cast("string").alias("external_id"),
+        F.create_map(F.lit("event_type"), F.col("event_type")).alias("attributes"),
+    )
+    payloads = wire.encode_column(env, out_col="payload").select(
+        "partition_key", "payload"
+    )
+    (
+        payloads.write.format("kinesismessi")
+        .option("streamname", "events")
+        .option(
+            "clientfactory",
+            "messikinesisprovider_spark.sources.kinesis_sim:client_from_options",
+        )
+        .option("statedir", statedir)
+        .mode("append")
+        .save()
+    )
+
+    base = tempfile.mkdtemp(prefix="skwp_")
+    out_dir, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    stream = (
+        spark.readStream.format("kinesismessi")
+        .option("streamname", "events")
+        .option(
+            "clientfactory",
+            "messikinesisprovider_spark.sources.kinesis_sim:client_from_options",
+        )
+        .option("statedir", statedir)
+        .option("pollintervalms", "10")
+        .option("reader", "partitioned")
+        .option("metadatadir", os.path.join(base, "meta"))
+        .load()
+    )
+    slim = stream.select(
+        F.col("attributes")["event_type"].alias("event_type"),
+        F.col("partition_key").alias("user_key"),
+    )
+    prev = -1
+    for _ in range(2):  # pass 1 drains to tip; pass 2 must append nothing
+        q = (
+            slim.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(out_dir).count()
+        if n == prev:
+            break
+        prev = n
+    drained = spark.read.parquet(out_dir)
+    return drained.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(pk_decode(F.col("user_key"))).alias("n_users"),
+    )

@@ -229,6 +229,11 @@ QUERIES = [
     "range_join_preagg",
     # round 6
     "semdedup_adaptive",
+    "dedup_minhash_adaptive",
+    "kruskal_wallis_h",
+    "window_count_distinct",
+    "ngram_novelty_eval",
+    "dsir_importance_weights",
 ]
 
 # Third decade (round 5): the scale-tagged subset re-timed on the synthetic
@@ -264,6 +269,7 @@ BIG_QUERIES = [
     # twin semdedup_adaptive (round-5 verdict items 1+6).
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_adaptive",
     "semdedup_adaptive",
     "dedup_winnowing_overlap",
     "url_canonicalize_dedup",
@@ -315,7 +321,11 @@ _SFBIG_TABLES = [
 # constant and the exact prefix-filter join is measured against realistic df
 # growth instead of the closed-31-word degeneracy.
 OV_DIR = os.environ.get("SPARK_GRAFT_SFOV_DIR", "/tmp/sf1ov")
-OV_QUERIES = ["setsim_prefix_filter_join"]
+OV_QUERIES = [
+    "setsim_prefix_filter_join",
+    "dedup_minhash_lsh",
+    "dedup_minhash_adaptive",
+]
 
 # Round-6 verdict item 8: a FOURTH decade for the dedup/ANN scale paths only
 # — documents/embeddings multiplied 100x over sf0.1 (other tables stay
@@ -324,6 +334,7 @@ D4_DIR = os.environ.get("SPARK_GRAFT_SF4_DIR", "/tmp/sf10de")
 D4_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_adaptive",
     "semdedup_adaptive",
     "knn_graph_adaptive",
     "sim_ann_ivf_hashseed",
