@@ -27,6 +27,7 @@ from pyspark.sql.window import Window as W
 
 from ..registry import register
 from .dedup import h60_duck, h60_spark
+from .ranking import global_row_number
 from .relational import events_tbl, spread, tbl
 
 # ---------------------------------------------------------------------------
@@ -275,11 +276,17 @@ def bit_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Tie-corrected Kruskal-Wallis H across the 5 order priorities, on integer
-# cents, via the value-domain contingency machinery (pipeline72): with
-# DOUBLED average ranks r2 (always integral), the rank-sum identity gives
+# cents, with DOUBLED average ranks r2 (always integral): the rank-sum
+# identity gives
 #   H = 3 * sum_g(R2_g^2 / n_g) / (N (N+1)) - 3 (N + 1)
 # (R2_g = sum of doubled ranks in group g = 2 * R_g), corrected for ties by
 #   H' = H / (1 - sum_v(t_v^3 - t_v) / (N^3 - N)).
+# Unlike spearman/kendall (pipeline72), o_totalprice's value domain is NOT
+# bounded — ~N distinct cents values — so the doubled ranks come from the
+# TWO-PASS GLOBAL RANKING (running sum over the value marginal, the
+# mann_whitney machinery: r2 = 2*cum_incl - nv + 1), never from a
+# cumulative theta join (measured 570 s at sf0.1 on ~150k marginal rows —
+# the quadratic that bounded-domain contingency tables never hit).
 # Every moment is exact (decimal-widened integer products); the one
 # order-sensitive double reduction — sum over the 5 groups of R2_g^2/n_g —
 # runs as the sequential group-sorted fold.
@@ -291,9 +298,10 @@ WITH base AS (
 cells AS (SELECT grp, xc, COUNT(*) AS n FROM base GROUP BY grp, xc),
 margv AS (SELECT xc, SUM(n) AS nv FROM cells GROUP BY xc),
 rv AS (
-  SELECT a.xc, 2 * COALESCE(SUM(b.nv), 0) + a.nv + 1 AS r2
-  FROM margv a LEFT JOIN margv b ON b.xc < a.xc
-  GROUP BY a.xc, a.nv
+  SELECT xc, 2 * SUM(nv) OVER (ORDER BY xc
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - nv + 1 AS r2
+  FROM margv
 ),
 g AS (
   SELECT c.grp, SUM(c.n) AS n_g,
@@ -339,11 +347,14 @@ FROM tot CROSS JOIN ties
     tags=("statistics", "extension"),
 )
 def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank computation never sorts the fact table: the value marginal
-    (distinct cents) is a micro-table, doubled average ranks come from a
-    cumulative join over it, and group rank-sums are decimal-exact products
-    folded back over the contingency cells. The only doubles are the final
-    5-term group fold (sequential, group-sorted) and the closing H formula."""
+    """Rank computation never sorts the fact table: doubled average ranks
+    come from a two-pass global RUNNING SUM over the value marginal
+    (range-partitioned, no single-partition window, no cumulative theta
+    join — o_totalprice's domain is ~N distinct values, so the pipeline72
+    contingency-join trick would be quadratic here), and group rank-sums
+    are decimal-exact products folded back over the contingency cells. The
+    only doubles are the final 5-term group fold (sequential, group-sorted)
+    and the closing H formula."""
     base = (
         spread(tbl(spark, sf_dir, "orders"))
         .where(F.col("o_totalprice").isNotNull())
@@ -354,13 +365,13 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = base.groupBy("grp", "xc").agg(F.count(F.lit(1)).alias("n")).persist()
     margv = cells.groupBy("xc").agg(F.sum("n").alias("nv"))
-    ma = margv.select(F.col("xc").alias("xa"), F.col("nv").alias("nva"))
-    mb = margv.select(F.col("xc").alias("xb"), F.col("nv").alias("nvb"))
-    rv = (
-        ma.join(mb, F.col("xb") < F.col("xa"), "left")
-        .groupBy("xa", "nva")
-        .agg((2 * F.coalesce(F.sum("nvb"), F.lit(0)) + F.col("nva") + 1).alias("r2"))
-        .select(F.col("xa").alias("xc"), "r2")
+    # two-pass global running sum over the (unbounded) value marginal —
+    # r2 = 2*cum_incl - nv + 1; never a cumulative theta join here
+    ranked, _n = global_row_number(
+        margv, order_by=["xc"], rn_col="_rn", running_sums={"nv": "cumv"}
+    )
+    rv = ranked.select(
+        "xc", (2 * F.col("cumv") - F.col("nv") + 1).alias("r2")
     )
     g = (
         cells.join(rv, "xc")
