@@ -354,6 +354,9 @@ HEADLINE = [
     "drawdown_running_max",
     "funnel_time_bounded",
     "embedding_source_centroid_dist",
+    "attribution_time_decay",
+    "blocking_sorted_neighborhood",
+    "array_functions_2",
     "revenue_bridge_monthly",
     "pareto_8020_revenue",
     "eval_ngram_precision_bleu",

@@ -44,7 +44,14 @@ from .relational import spread, tbl
 _KNN_K = 3
 _N_CHUNKS = 4
 _MIN_BITS = 4
-_MAX_BITS = 10
+# Cap raised 10 -> 14 in round 6: the fourth scaling decade (200k vectors)
+# showed the 10-bit cap binding — occupancy drifted past the target and the
+# candidate volume resumed super-linear growth (25.8x on 10x data). 14 bits
+# holds the ladder to ~2M vectors per chunk-space; beyond that, production
+# raises the cap further (the expression grows by 64 literals per bit).
+_MAX_BITS = 14
+_GEN_BITS = 16  # plane tensor is generated at a FIXED width and sliced, so
+# raising _MAX_BITS never reshuffles existing planes (rng layout stability)
 _TARGET_BUCKET = 125  # occupancy the ladder holds constant
 
 # The bits ladder: smallest B in [4,10] with N <= TARGET * CHUNKS... kept as
@@ -61,11 +68,13 @@ def _bits_for(n: int) -> int:
 
 
 def _ext_planes() -> np.ndarray:
-    """4 chunks x 10 planes x 64 dims; [c][j<4] is pipeline32's plane
+    """4 chunks x _MAX_BITS planes x 64 dims; [c][j<4] is pipeline32's plane
     4c+j (so small corpora reproduce the fixed query exactly), [c][j>=4]
-    extends with the same small-integer Rademacher construction."""
+    extends with the same small-integer Rademacher construction. The tensor
+    is drawn at the fixed _GEN_BITS width and sliced, so raising _MAX_BITS
+    extends the ladder without reshuffling the planes already in use."""
     rng = np.random.default_rng(779)
-    ext = rng.integers(-3, 4, size=(_N_CHUNKS, _MAX_BITS, _EMBED_DIM))
+    ext = rng.integers(-3, 4, size=(_N_CHUNKS, _GEN_BITS, _EMBED_DIM))[:, :_MAX_BITS, :]
     for c in range(_N_CHUNKS):
         for j in range(_MIN_BITS):
             ext[c][j] = _PLANES[_N_CHUNKS * c + j]

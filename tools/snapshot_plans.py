@@ -203,6 +203,20 @@ SHOW = [
     "mann_whitney_u_exact",
     "successive_halving_eval",
     "embedding_matryoshka_recall",
+    # rounds 5-6: the adaptive scale twins (ladder-sized LSH build sides),
+    # aggregate-pushdown range join, two-pass unbounded-domain ranks,
+    # chained IGNORE-NULLS windows, convergent min-label propagation
+    "knn_graph_adaptive",
+    "semdedup_adaptive",
+    "dedup_minhash_adaptive",
+    "range_join_preagg",
+    "kruskal_wallis_h",
+    "window_count_distinct",
+    "asof_join_tolerance",
+    "funnel_time_bounded",
+    "graph_connected_components",
+    "dsir_importance_weights",
+    "values_inline_dim_join",
 ]
 
 
