@@ -357,6 +357,9 @@ HEADLINE = [
     "attribution_time_decay",
     "blocking_sorted_neighborhood",
     "array_functions_2",
+    "dq_uniqueness_audit",
+    "eval_spearman_footrule",
+    "streaming_kinesis_merge_pipeline",
     "revenue_bridge_monthly",
     "pareto_8020_revenue",
     "eval_ngram_precision_bleu",

@@ -246,6 +246,8 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import pipeline84  # noqa: F401  (round 6, appended)
     from .operators import pipeline85  # noqa: F401  (round 6, appended)
     from .operators import pipeline86  # noqa: F401  (round 6, appended)
+    from .streaming import verified15 as _verified15  # noqa: F401  (round 6, appended)
+    from .operators import pipeline87  # noqa: F401  (round 6, appended)
 
     # Driver-coverage rotation (rounds 4-5): the driver's correctness harness
     # executes the FIRST 50 registry entries each round, so without rotation
