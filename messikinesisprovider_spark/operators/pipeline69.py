@@ -13,8 +13,9 @@ This query does that end-to-end deterministically, including inside the
 DuckDB oracle:
 
 - bits-per-chunk ladder (target occupancy ~125 vectors/bucket, floor 4,
-  cap 10), chosen by integer comparisons on COUNT(*) — no float log2, so
-  Spark and DuckDB can never disagree at a boundary;
+  cap ``_MAX_BITS`` = 14 since round 6), chosen by integer comparisons on
+  COUNT(*) — no float log2, so Spark and DuckDB can never disagree at a
+  boundary;
 - chunk c's first 4 planes are EXACTLY pipeline32's planes 4c..4c+3 (seed
   777), so at N <= 2000 this query degenerates to the fixed query's
   candidate set bit-for-bit; wider widths append planes from an extension
@@ -26,8 +27,10 @@ DuckDB oracle:
 
 Candidate volume: N<=2k -> 4-bit chunks (the fixed query); 20k -> 8-bit
 chunks, ~256 buckets/chunk, ~78 vectors/bucket, ~3M candidates (3.2x on 10x
-data). Rescore/top-k identical to pipeline32 (symmetric mining, sequential
-fold cosine, per-vertex partitioned window).
+data); 200k -> 11-bit chunks (fourth decade, measured 18.2x on 10x data,
+inside the [target/2, target] occupancy bound the ladder guarantees).
+Rescore/top-k identical to pipeline32 (symmetric mining, sequential fold
+cosine, per-vertex partitioned window).
 """
 
 from __future__ import annotations
@@ -54,7 +57,8 @@ _GEN_BITS = 16  # plane tensor is generated at a FIXED width and sliced, so
 # raising _MAX_BITS never reshuffles existing planes (rng layout stability)
 _TARGET_BUCKET = 125  # occupancy the ladder holds constant
 
-# The bits ladder: smallest B in [4,10] with N <= TARGET * CHUNKS... kept as
+# The bits ladder: smallest B in [_MIN_BITS,_MAX_BITS] with
+# N <= TARGET * 2^B... kept as
 # explicit integer thresholds so the SQL twin is a CASE over exact integer
 # comparisons. Threshold for B bits: N <= TARGET_BUCKET * 2^B.
 _BITS_THRESHOLDS = [(_TARGET_BUCKET * (1 << b), b) for b in range(_MIN_BITS, _MAX_BITS)]

@@ -311,12 +311,11 @@ def build_ivf_index(
     return result
 
 
-@register(
-    "sim_ann_ivf",
-    oracle=None,  # trained quantizer; structure + agreement with brute force tested
-    description=f"ANN top-{TOP_K} via IVF: sampled quantizer ({N_IVF_CELLS} cells, cached), probe {N_PROBE} cells, exact rerank",
-    tags=("similarity", "ivf", "ann", "extension"),
-)
+# Registry retirement (round 7, VERDICT item 5): this numpy-trained variant
+# was the registry's one rows-only entry. It stays as a library function with
+# its structure/agreement tests (tests/test_extensions.py), but the registered
+# trained-IVF query is now similarity5.sim_ann_ivf_trained, whose hash-seeded
+# init + in-plan Lloyd rounds make the ENTIRE pipeline oracle-exact.
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF — the scale path for clustered corpora: centroid literals assign
     every vector to a cell in one codegen'd pass (no shuffle, no ML stage);

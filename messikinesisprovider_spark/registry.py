@@ -249,6 +249,8 @@ def all_specs() -> dict[str, QuerySpec]:
     from .streaming import verified15 as _verified15  # noqa: F401  (round 6, appended)
     from .operators import pipeline87  # noqa: F401  (round 6, appended)
 
+    from .operators import similarity5  # noqa: F401  (round 7, appended)
+
     # Driver-coverage rotation (rounds 4-5): the driver's correctness harness
     # executes the FIRST 50 registry entries each round, so without rotation
     # the same 50 queries would be driver-checked every round while the rest
@@ -264,6 +266,13 @@ def all_specs() -> dict[str, QuerySpec]:
     ordered: dict[str, QuerySpec] = {}
     if "flagship_events_last_day" in _REGISTRY:
         ordered["flagship_events_last_day"] = _REGISTRY["flagship_events_last_day"]
+    # Judge-named priority queries (round-6 verdict item 1): big round-6
+    # additions that should enter the driver window before insertion-order
+    # rotation reaches them.
+    for name in _DRIVER_PRIORITY:
+        spec = _REGISTRY.get(name)
+        if spec is not None and name not in checked and name not in ordered:
+            ordered[name] = spec
     for name, spec in _REGISTRY.items():
         if name not in checked and name not in ordered and spec.oracle is not None:
             ordered[name] = spec
@@ -275,6 +284,14 @@ def all_specs() -> dict[str, QuerySpec]:
             ordered[name] = spec
     return ordered
 
+
+# Round-7 driver-window priority (round-6 VERDICT item 1): the judge named
+# these round-6 additions as must-sample; they jump the insertion-order queue.
+_DRIVER_PRIORITY = (
+    "streaming_kinesis_merge_pipeline", "graph_connected_components",
+    "kruskal_wallis_h", "welch_t_test", "window_count_distinct",
+    "attribution_time_decay",
+)
 
 # Names with a driver-side CORRECTNESS row in any past round (union of
 # CORRECTNESS_r01..r04.json keys). Kept literal so the rotation is stable
@@ -337,6 +354,24 @@ _DRIVER_CHECKED = frozenset({
     "tpch_q18_large_volume_customer", "tpch_q20_excess_shippers",
     "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
     "triangle_count", "vocab_coverage", "zorder_morton_layout",
+    # round 6 (CORRECTNESS_r06.json)
+    "anomaly_mad_flags", "asof_join_nearest", "assoc_rules_lift",
+    "bloom_semi_filter", "bm25_topk", "bpe_merge_step", "corr_pairs_exact",
+    "dedup_embedding_lsh", "dedup_exact_substring", "dedup_incremental_minhash",
+    "dedup_winnowing_overlap", "dq_expectations", "drift_chisquare_bins",
+    "entity_resolution_e2e", "eval_auc_exact", "ewma_user_value",
+    "fuzzy_join_lev", "graph_jaccard_links", "graph_khop_reach",
+    "graph_label_propagation", "graph_pagerank", "kmeans_lloyd_step",
+    "mixture_weights_tokens", "multimodal_dedup_binary", "ngram_lm_score",
+    "ols_per_group", "percentile_bands_hourly", "percentile_cont_exact",
+    "pit_join_scd2", "quality_hashed_linear", "range_join_binned",
+    "retrieval_rrf_hybrid", "sample_per_source_k", "sample_quality_weighted",
+    "sample_weighted_bernoulli", "scd2_history", "seasonal_hourly_index",
+    "semdedup_cells", "sequence_pattern_match", "sketch_countmin_topk",
+    "sketch_kmv_distinct", "sketch_kmv_setops", "skew_salted_join",
+    "skyline_pareto", "streaming_kinesis_pipeline_partitioned",
+    "streaming_sequence_match", "streaming_stream_stream_left",
+    "token_pmi_bigrams", "unpivot_measures",
 })
 
 # Backwards-compatible alias (tests and notes from earlier rounds refer to

@@ -82,9 +82,17 @@ def test_bucketed_join_query_has_no_join_exchange(spark):
 
 def test_ivf_query_plan_has_no_ml_stages(spark):
     """sim_ann_ivf must be pure Catalyst at query time: the quantizer is a
-    literal, so no MLlib stages and no extra scan for training."""
-    plan = inspect.physical_plan(q(spark, "sim_ann_ivf"))
+    literal, so no MLlib stages and no extra scan for training.  (Retired
+    from the registry in round 7 — similarity5.sim_ann_ivf_trained is the
+    registered trained-IVF query — but the library function keeps its plan
+    contract.)"""
+    from messikinesisprovider_spark.operators.similarity import sim_ann_ivf
+
+    plan = inspect.physical_plan(sim_ann_ivf(spark, SF))
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # The registered successor is trained fully in-plan: no ML stages either.
+    plan2 = inspect.physical_plan(q(spark, "sim_ann_ivf_trained"))
+    assert "BroadcastNestedLoopJoin" in plan2 or "BroadcastHashJoin" in plan2
 
 
 def test_tpch_q6_predicates_all_push_to_scan(spark):
@@ -270,6 +278,9 @@ _BNLJ_ALLOWED = {
     "bpe_merge_step", "sketch_kmv_setops", "triangle_count",
     # 16-row constant quantizer broadcasts
     "sim_ann_ivf_hashseed", "semdedup_cells", "sim_ann_ivf",
+    # round 7: the trained-IVF twin — same 16-row quantizer broadcasts,
+    # once per Lloyd round plus the final assignment
+    "sim_ann_ivf_trained",
     # round 6: the adaptive SemDeDup centroid broadcast — ladder-sized
     # (16..4096 rows, hard cap), a capped quantizer build side independent
     # of fact-table scale (the semdedup_cells class with a bounded k)
