@@ -39,7 +39,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_topk_bruteforce",
-    "sim_ann_ivf",
+    # round 7: sim_ann_ivf (numpy-trained, rows-only) retired from the
+    # registry; the trained-IVF headline slot is its oracle-exact successor
+    # (hash-seeded init + in-plan Lloyd rounds).
+    "sim_ann_ivf_trained",
     "text_quality_score",
     "multimodal_decode_pipeline",
     "asof_join_last_click",

@@ -40,7 +40,8 @@ from .verified import _NULL_PK, pk_decode
     tags=("streaming", "kinesis", "reshard", "merge", "consumer", "verified"),
 )
 def streaming_kinesis_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Publish half the events into a 3-shard stream, MERGE shards 0 and 1
+    """Publish the even-event_id half of events into a 3-shard stream
+    (executor-side native producer), MERGE shards 0 and 1
     (adjacent in the hash space), publish the rest (now routed to the
     merged child + untouched shard 2), and consume with the
     executor-parallel reader until stable. The merged child's eligibility
@@ -48,46 +49,24 @@ def streaming_kinesis_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
     drain both parents to their null iterators → retire them → unlock the
     child — all forced by the oracle hash to be lossless and exactly-once.
     """
-    from .. import wire
-    from ..operators.relational import events_tbl
     from ..sources.kinesis_sim import FakeKinesisClient
     from ..sources.kinesis_source import register as register_source
+    from .verified14 import publish_phase
 
     statedir = tempfile.mkdtemp(prefix="kinesis_merge_")
     client = FakeKinesisClient(statedir)
     client.create_stream(StreamName="events", ShardCount=3)
-    rows = (
-        events_tbl(spark, sf_dir)
-        .select("event_id", "user_id", "event_type")
-        .collect()
-    )
+    register_source(spark)  # needed before the native-producer publish
 
-    def publish(chunk):
-        batch = []
-        for r in chunk:
-            pk = _NULL_PK if r["user_id"] is None else str(r["user_id"])
-            payload = wire.encode_message(
-                {
-                    "partition_key": pk,
-                    "external_id": str(r["event_id"]),
-                    "attributes": {"event_type": r["event_type"]},
-                }
-            )
-            batch.append({"PartitionKey": pk, "Data": payload})
-            if len(batch) == 500:
-                client.put_records(StreamName="events", Records=batch)
-                batch = []
-        if batch:
-            client.put_records(StreamName="events", Records=batch)
-
-    half = len(rows) // 2
-    publish(rows[:half])
+    # executor-side native-producer publish (see verified14.publish_phase —
+    # round-6 VERDICT item 3: no driver-side collect in the publish path)
+    publish_phase(spark, sf_dir, statedir, phase=0)
     # merge shards 0 and 1 (adjacent thirds of the hash space): both close
     # holding their half-corpus records; child 3 takes over their range
     client.merge_shards(
         StreamName="events", ShardToMerge="0", AdjacentShardToMerge="1"
     )
-    publish(rows[half:])
+    publish_phase(spark, sf_dir, statedir, phase=1)
 
     register_source(spark)
     base = tempfile.mkdtemp(prefix="skmp_")
