@@ -24,6 +24,8 @@ mapped from the cursor types P1-P4); nothing downstream changes.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,3 +144,26 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int = 4):
+    """Pin `spark.sql.shuffle.partitions` (the streaming state-store
+    partition count — frozen into a query's checkpoint at its first batch)
+    for the duration of a pass-based verification topology.
+
+    Each stateful microbatch pays a fixed per-partition cost (state-store
+    provider init + commit + one output file), so a topology that stages a
+    micro-log and runs 2-3 availableNow passes pays 32 x passes of pure
+    overhead under the session default (measured: late-drop audit 11.8s ->
+    6.5s at sf0.1 with n=4, identical results). This is the same sizing
+    decision a production job makes — state partitions proportional to
+    throughput, not a global constant; the semantics (watermarks, drops,
+    dedup state) are partition-count-invariant, which the oracle hash
+    re-verifies on every run."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -138,7 +138,6 @@ def streaming_kinesis_reshard_pipeline(spark: SparkSession, sf_dir: str) -> Data
     )
     # drain until stable: batch 1 reads shard 1 + drains parent 0 to its
     # closure marker; batch 2 unlocks children 2/3; batch 3 confirms empty
-    prev = -1
     for _ in range(4):
         q = (
             slim.writeStream.format("parquet")
@@ -148,10 +147,10 @@ def streaming_kinesis_reshard_pipeline(spark: SparkSession, sf_dir: str) -> Data
             .start()
         )
         q.awaitTermination()
-        n = spark.read.parquet(out_dir).count()
-        if n == prev:
+        # stability from the query's own progress (no extra count job): a
+        # pass that ingested 0 rows is the confirming empty batch
+        if sum(int(p["numInputRows"]) for p in (q.recentProgress or [])) == 0:
             break
-        prev = n
     drained = spark.read.parquet(out_dir)
     return drained.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -237,7 +236,6 @@ def streaming_kinesis_write_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("attributes")["event_type"].alias("event_type"),
         F.col("partition_key").alias("user_key"),
     )
-    prev = -1
     for _ in range(2):  # pass 1 drains to tip; pass 2 must append nothing
         q = (
             slim.writeStream.format("parquet")
@@ -247,10 +245,9 @@ def streaming_kinesis_write_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
             .start()
         )
         q.awaitTermination()
-        n = spark.read.parquet(out_dir).count()
-        if n == prev:
+        # stability from the query's own progress (no extra count job)
+        if sum(int(p["numInputRows"]) for p in (q.recentProgress or [])) == 0:
             break
-        prev = n
     drained = spark.read.parquet(out_dir)
     return drained.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

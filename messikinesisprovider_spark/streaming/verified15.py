@@ -91,7 +91,6 @@ def streaming_kinesis_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
     # drain until stable: batch 1 reads shard 2 + drains parents 0 and 1 to
     # their closure markers; batch 2 unlocks the merged child 3; batch 3
     # confirms empty
-    prev = -1
     for _ in range(4):
         q = (
             slim.writeStream.format("parquet")
@@ -101,10 +100,10 @@ def streaming_kinesis_merge_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
             .start()
         )
         q.awaitTermination()
-        n = spark.read.parquet(out_dir).count()
-        if n == prev:
+        # stability from the query's own progress (no extra count job): a
+        # pass that ingested 0 rows is the confirming empty batch
+        if sum(int(p["numInputRows"]) for p in (q.recentProgress or [])) == 0:
             break
-        prev = n
     drained = spark.read.parquet(out_dir)
     return drained.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

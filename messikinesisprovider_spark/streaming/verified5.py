@@ -53,13 +53,14 @@ def streaming_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _staged_events_log(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="scd2_stream_")
     state = os.path.join(base, "state")
-    q = materialize.scd2_maintain(
-        consume.stream_log(spark, root),
-        state_dir=state,
-        checkpoint_dir=os.path.join(base, "ckpt"),
-        tier_band=TIER_BAND,
-    )
-    q.awaitTermination()
+    with consume.state_partitions(spark):
+        q = materialize.scd2_maintain(
+            consume.stream_log(spark, root),
+            state_dir=state,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            tier_band=TIER_BAND,
+        )
+        q.awaitTermination()
     versions_dir = os.path.join(state, "versions")
     if not os.path.isdir(versions_dir):
         return spark.createDataFrame(

@@ -71,13 +71,14 @@ def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _staged_events_log(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="pit_stream_")
     state = os.path.join(base, "state")
-    q = materialize.scd2_maintain(
-        consume.stream_log(spark, root),
-        state_dir=state,
-        checkpoint_dir=os.path.join(base, "ckpt"),
-        tier_band=TIER_BAND,
-    )
-    q.awaitTermination()
+    with consume.state_partitions(spark):
+        q = materialize.scd2_maintain(
+            consume.stream_log(spark, root),
+            state_dir=state,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            tier_band=TIER_BAND,
+        )
+        q.awaitTermination()
     out_schema = (
         "click_event_id bigint, user_id bigint, click_ts timestamp, "
         "version_at_click bigint, tier_at_click bigint"
@@ -122,4 +123,5 @@ def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version").alias("version_at_click"),
         F.col("tier").alias("tier_at_click"),
     )
-    return _drain_append(joined, "pit_enrich")
+    with consume.state_partitions(spark):
+        return _drain_append(joined, "pit_enrich")

@@ -133,12 +133,13 @@ def streaming_sketch_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _staged_events_log(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="cms_stream_")
-    q = sketch_accumulate(
-        consume.stream_log(spark, root),
-        state_dir=base,
-        checkpoint_dir=os.path.join(base, "ckpt"),
-    )
-    q.awaitTermination()
+    with consume.state_partitions(spark):
+        q = sketch_accumulate(
+            consume.stream_log(spark, root),
+            state_dir=base,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
     store = os.path.join(base, "inc")
     out_schema = "user_key string, exact_c bigint, est_c bigint, no_underestimate boolean"
     if not os.path.isdir(store):

@@ -128,20 +128,21 @@ def streaming_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    # pass 1: on-time rows set the watermark to max(on-time) - 1h
-    ingest_dataframe(log, src.filter(~F.col("late")).drop("late"), "events", now=t0)
-    drain()
-    # pass 2: the late set — engine drops windows with end <= wm
-    late_rows = src.filter(F.col("late")).drop("late")
-    if late_rows.limit(1).count():
-        ingest_dataframe(log, late_rows, "events", now=t0 + timedelta(seconds=1))
+    with consume.state_partitions(spark):
+        # pass 1: on-time rows set the watermark to max(on-time) - 1h
+        ingest_dataframe(log, src.filter(~F.col("late")).drop("late"), "events", now=t0)
         drain()
-    # pass 3: sentinel advances the watermark past every real window end
-    sentinel = spark.createDataFrame(
-        [("sentinel_" + uuid.uuid4().hex[:6], "sentinel", mx + timedelta(hours=2))],
-        "partition_key string, external_id string, ts timestamp",
-    )
-    ingest_dataframe(log, sentinel, "events", now=t0 + timedelta(seconds=2))
-    drain()
+        # pass 2: the late set — engine drops windows with end <= wm
+        late_rows = src.filter(F.col("late")).drop("late")
+        if late_rows.limit(1).count():
+            ingest_dataframe(log, late_rows, "events", now=t0 + timedelta(seconds=1))
+            drain()
+        # pass 3: sentinel advances the watermark past every real window end
+        sentinel = spark.createDataFrame(
+            [("sentinel_" + uuid.uuid4().hex[:6], "sentinel", mx + timedelta(hours=2))],
+            "partition_key string, external_id string, ts timestamp",
+        )
+        ingest_dataframe(log, sentinel, "events", now=t0 + timedelta(seconds=2))
+        drain()
     emitted = spark.read.schema(schema).parquet(out_dir)
     return emitted.select("window_start", F.col("n_messages").cast("long").alias("n_messages"))

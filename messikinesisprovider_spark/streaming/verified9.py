@@ -102,12 +102,13 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
 
     if src.limit(1).count() == 0:  # empty source
         return spark.createDataFrame([], schema)
-    # pass 1: originals + same-batch duplicates (dedup by key, nothing late)
-    ingest_dataframe(log, src.unionByName(dups), "events", now=t0)
-    drain()
-    # pass 2: the duplicates AGAIN — recent ones die as in-state duplicates,
-    # old ones as late rows; zero new emissions either way
-    if dups.limit(1).count():
-        ingest_dataframe(log, dups, "events", now=t0 + timedelta(seconds=1))
+    with consume.state_partitions(spark):
+        # pass 1: originals + same-batch duplicates (dedup by key, nothing late)
+        ingest_dataframe(log, src.unionByName(dups), "events", now=t0)
         drain()
+        # pass 2: the duplicates AGAIN — recent ones die as in-state
+        # duplicates, old ones as late rows; zero new emissions either way
+        if dups.limit(1).count():
+            ingest_dataframe(log, dups, "events", now=t0 + timedelta(seconds=1))
+            drain()
     return spark.read.schema(schema).parquet(out_dir)
