@@ -234,6 +234,8 @@ QUERIES = [
     "window_count_distinct",
     "ngram_novelty_eval",
     "dsir_importance_weights",
+    # round 7: the iterative-graph convergence loop (fourth-decade target)
+    "graph_connected_components",
 ]
 
 # Third decade (round 5): the scale-tagged subset re-timed on the synthetic
@@ -308,6 +310,12 @@ BIG_QUERIES = [
     "eval_auc_pr_exact",
     "skew_salted_left_join",
     "doc_unigram_surprisal",
+    # round 7 (verdict item 2): sf1 baselines for the iterative-graph and
+    # streaming-state fourth-decade rows below
+    "graph_connected_components",
+    "graph_modularity_lpa",
+    "graph_sssp_bounded",
+    "streaming_dedup_within_watermark",
 ]
 
 
@@ -350,6 +358,22 @@ D4_QUERIES = [
     "tfidf_topk_pairs",
 ]
 
+# Round-7 verdict item 2: a fourth decade for the ITERATIVE-GRAPH loops and
+# one state-heavy streaming topology — lineitem (feeds the materialized
+# co-purchase edge table every graph query reads) and events (feeds the
+# staged streaming logs) multiplied 100x over sf0.1; the 100 key-offset
+# copies are disconnected subgraphs, so convergence round count is constant
+# while per-round volume grows 100x — exactly the per-round cost bound the
+# 100 TB claim needs measured. Baselines are the sf1 rows (10x), so ~10x =
+# linear in the ratio column.
+D4GS_DIR = os.environ.get("SPARK_GRAFT_SF4GS_DIR", "/tmp/sf10gl")
+D4GS_QUERIES = [
+    "graph_connected_components",
+    "graph_modularity_lpa",
+    "graph_sssp_bounded",
+    "streaming_dedup_within_watermark",
+]
+
 
 def _ensure_fixture(dst: str, extra_args: list[str], marker_substrs: list[str]) -> bool:
     """A fixture only counts as present when make_sfbig's completion marker
@@ -389,6 +413,14 @@ def _ensure_sfbig() -> bool:
 def _ensure_sfov() -> bool:
     return _ensure_fixture(
         OV_DIR, ["10", "--open-vocab"], ["open_vocab=True", "multiplied=customer,"]
+    )
+
+
+def _ensure_sf4gs() -> bool:
+    return _ensure_fixture(
+        D4GS_DIR,
+        ["100", "--tables=lineitem,events"],
+        ["factor=100", "open_vocab=False", "multiplied=lineitem,events"],
     )
 
 
@@ -485,6 +517,9 @@ def main():
     d4_results: dict[str, float] = {}
     if big_results and _ensure_sf4():
         d4_results = _time_on(D4_QUERIES, D4_DIR)
+    d4gs_results: dict[str, float] = {}
+    if big_results and _ensure_sf4gs():
+        d4gs_results = _time_on(D4GS_QUERIES, D4GS_DIR)
     lines = [
         "# SCALING — wall time across scale factors (local[32], min of 2 runs)",
         "",
@@ -549,9 +584,30 @@ def main():
             base = ov_results.get(name, big_results.get(name))
             r = f"{round(t / base, 2)}x" if base else "n/a"
             lines.append(f"| {name} | {base} | {t} | {r} |")
+    if d4gs_results:
+        lines += [
+            "",
+            "## Fourth decade — iterative graph + streaming state (round-7 item 2)",
+            "",
+            "`/tmp/sf10gl` = lineitem + events x100 over sf0.1 (60M lineitem",
+            "rows feed the materialized co-purchase edge table; 10M events",
+            "feed the staged streaming log). The 100 key-offset copies form",
+            "disconnected subgraphs, so the label-propagation / SSSP / CC",
+            "loops converge in the SAME round count while per-round volume",
+            "grows 100x — the per-round cost bound is what scales. Baseline",
+            "is the sf1 row (10x data), so ~10x = linear; streaming state",
+            "(watermark dedup) holds 10M keys across 4 state partitions.",
+            "",
+            "| query | sf1 s | sf10gl s | 1.0→10 ratio |",
+            "|---|---|---|---|",
+        ]
+        for name, t in d4gs_results.items():
+            base = big_results.get(name)
+            r = f"{round(t / base, 2)}x" if base else "n/a"
+            lines.append(f"| {name} | {base} | {t} | {r} |")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({"three_sf": results, "sf1": big_results, "sf1ov": ov_results, "sf10de": d4_results}))
+    print(json.dumps({"three_sf": results, "sf1": big_results, "sf1ov": ov_results, "sf10de": d4_results, "sf10gl": d4gs_results}))
     print("SCALING.md written")
 
 
