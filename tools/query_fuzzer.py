@@ -121,28 +121,53 @@ def _window_query(rng: random.Random) -> str:
     pairs, which made a running MIN legitimately diverge (seed 139)."""
     part = rng.choice(O_STR)
     order = "o_orderkey"  # unique
-    fn, is_agg = rng.choice(
-        [
-            ("ROW_NUMBER()", False),
-            ("RANK()", False),
-            ("DENSE_RANK()", False),
-            ("COUNT(*)", True),
-            ("SUM(o_custkey)", True),
-            ("MIN(o_custkey)", True),
-        ]
-    )
-    frame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW" if is_agg else ""
-    win = f"{fn} OVER (PARTITION BY {part} ORDER BY {order}{frame})"
-    # CAST the whole window expression — two real portability classes the
-    # fuzzer surfaced: DuckDB widens window SUM(BIGINT) to HUGEINT (like
-    # plain SUM), and Spark's ROW_NUMBER/RANK/DENSE_RANK return INT32 where
-    # DuckDB returns BIGINT. The registry's cast-the-rank/cast-the-sum
-    # conventions fence both.
-    expr = f"CAST({win} AS BIGINT)"
+    exprs = []
+    for i in range(rng.randrange(1, 3)):  # widened round 7: 1-2 window cols
+        kind = rng.randrange(8)
+        if kind == 0:
+            win, cast = rng.choice(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"]), "BIGINT"
+            frame = ""
+        elif kind == 1:
+            win, cast = rng.choice(["COUNT(*)", "SUM(o_custkey)", "MIN(o_custkey)"]), "BIGINT"
+            frame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        elif kind == 2:
+            # bounded sliding ROWS frame (round 7): preceding/following offsets
+            lo, hi = rng.randrange(0, 4), rng.randrange(0, 4)
+            win, cast = rng.choice(["COUNT(*)", "SUM(o_custkey)", "MAX(o_custkey)"]), "BIGINT"
+            frame = f" ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING"
+        elif kind == 3:
+            # navigation with explicit default (NULL default also portable)
+            off = rng.randrange(1, 4)
+            dflt = rng.choice(["0", "NULL"])
+            win, cast = f"{rng.choice(['LAG', 'LEAD'])}(o_custkey, {off}, {dflt})", "BIGINT"
+            frame = ""
+        elif kind == 4:
+            win, cast = f"NTILE({rng.randrange(2, 6)})", "BIGINT"
+            frame = ""
+        elif kind == 5:
+            # deterministic on the unique order column; frame pinned — the
+            # default window frame for FIRST_VALUE differs in edge cases
+            win, cast = "FIRST_VALUE(o_custkey)", "BIGINT"
+            frame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        elif kind == 6:
+            # exact rational of two ints — identical double in both engines
+            win, cast = rng.choice(["PERCENT_RANK()", "CUME_DIST()"]), "DOUBLE"
+            frame = ""
+        else:
+            win, cast = "SUM(CAST(o_totalprice AS DECIMAL(18,2)))", "DOUBLE"
+            frame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        # CAST the whole window expression — real portability classes the
+        # fuzzer surfaced: DuckDB widens window SUM(BIGINT) to HUGEINT (like
+        # plain SUM), and Spark's ROW_NUMBER/RANK/DENSE_RANK/NTILE return
+        # INT32 where DuckDB returns BIGINT. The registry's cast-the-rank/
+        # cast-the-sum conventions fence both.
+        exprs.append(
+            f"CAST({win} OVER (PARTITION BY {part} ORDER BY {order}{frame}) AS {cast}) AS w{i}"
+        )
     where = _pred(
         rng, O_INT, O_STR, STATUS + ["1-URGENT", "2-HIGH", "3-MEDIUM"], ts_col="o_orderdate"
     )
-    return f"SELECT o_orderkey, {part}, {expr} AS w0 FROM orders WHERE {where}"
+    return f"SELECT o_orderkey, {part}, {', '.join(exprs)} FROM orders WHERE {where}"
 
 
 def _subquery_query(rng: random.Random) -> str:
@@ -226,23 +251,34 @@ def _rollup_query(rng: random.Random) -> str:
     input empty; (2) GROUPING() is cast — Spark returns it as a narrow
     int, DuckDB as BIGINT."""
     keys = rng.sample(["l_returnflag", "l_linestatus", "l_linenumber"], rng.randrange(1, 3))
-    op = rng.choice(["ROLLUP", "CUBE"])
+    if len(keys) >= 2 and rng.random() < 0.4:
+        # explicit GROUPING SETS (round 7): a random non-empty subset of the
+        # power set, always including the full key tuple so every key column
+        # is grouped at least once
+        subsets = [tuple(keys)]
+        for cand in [(keys[0],), (keys[1],), ()]:
+            if rng.random() < 0.6:
+                subsets.append(cand)
+        sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in subsets)
+        group = f"GROUPING SETS ({sets_sql})"
+    else:
+        group = f"{rng.choice(['ROLLUP', 'CUBE'])}({', '.join(keys)})"
     aggs = [_agg(rng, INT_COLS, STR_COLS, f"m{i}") for i in range(rng.randrange(1, 3))]
     gsel = ", ".join(f"CAST(GROUPING({k}) AS BIGINT) AS g_{k}" for k in keys)
     where = _pred(rng, INT_COLS, STR_COLS, FLAGS + STATUS)
     return (
         f"SELECT {', '.join(keys)}, {gsel}, {', '.join(aggs)} "
         f"FROM lineitem WHERE {where} "
-        f"GROUP BY {op}({', '.join(keys)}) HAVING COUNT(*) > 0"
+        f"GROUP BY {group} HAVING COUNT(*) > 0"
     )
 
 
 def gen_query(seed: int) -> str:
     rng = random.Random(seed)
     shape = rng.random()
-    if shape < 0.08:
+    if shape < 0.10:
         return _rollup_query(rng)
-    if shape < 0.12:
+    if shape < 0.18:
         return _window_query(rng)
     if shape < 0.24:
         return _subquery_query(rng)
