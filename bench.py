@@ -368,6 +368,15 @@ HEADLINE = [
     "eval_ngram_precision_bleu",
     "activity_streaks_islands",
     # streaming_union_two_logs stays out of the headline (fresh-log protocol)
+    # round 7
+    "filtered_aggregates_report",
+    "hilbert_curve_layout",
+    "graph_hits_step",
+    "forecast_holt_linear",
+    "colbert_maxsim_retrieval",
+    "mmr_diversified_topk",
+    "tokenizer_vocab_prune",
+    "als_rank1_round",
 ]
 
 

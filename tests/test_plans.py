@@ -281,6 +281,10 @@ _BNLJ_ALLOWED = {
     # round 7: the trained-IVF twin — same 16-row quantizer broadcasts,
     # once per Lloyd round plus the final assignment
     "sim_ann_ivf_trained",
+    # round 7: bounded/scalar broadcasts — ColBERT's 8-row query-vector set
+    # (theta join on mvdoc inequality), MMR's 1-row greedy picks over a
+    # 20-row candidate table, ALS's 1-row K and denominator totals
+    "colbert_maxsim_retrieval", "mmr_diversified_topk", "als_rank1_round",
     # round 6: the adaptive SemDeDup centroid broadcast — ladder-sized
     # (16..4096 rows, hard cap), a capped quantizer build side independent
     # of fact-table scale (the semdedup_cells class with a bounded k)
