@@ -381,6 +381,7 @@ HEADLINE = [
 
 
 def main():
+    load_start = [round(v, 2) for v in os.getloadavg()]
     sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(sf_match.group(1).rstrip(".")) if sf_match else None
     spark = get_spark("bench")
@@ -441,6 +442,12 @@ def main():
                 "queries": timings,
                 "n_queries": len(HEADLINE),
                 "sf": sf,
+                # ambient-load disclosure: timings on this shared box swing
+                # 2-3x under load (round-6 notes); a reader comparing rounds
+                # should weight runs with similar PRE-RUN load averages
+                # (loadavg_end mostly reflects the bench itself)
+                "loadavg_start": load_start,
+                "loadavg_end": [round(v, 2) for v in os.getloadavg()],
             }
         )
     )
