@@ -377,6 +377,9 @@ HEADLINE = [
     "mmr_diversified_topk",
     "tokenizer_vocab_prune",
     "als_rank1_round",
+    "embedding_binary_quantize_recall",
+    "bm25_phrase_proximity",
+    "shard_token_budget_pack",
 ]
 
 

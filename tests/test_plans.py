@@ -285,6 +285,9 @@ _BNLJ_ALLOWED = {
     # (theta join on mvdoc inequality), MMR's 1-row greedy picks over a
     # 20-row candidate table, ALS's 1-row K and denominator totals
     "colbert_maxsim_retrieval", "mmr_diversified_topk", "als_rank1_round",
+    # round 7: the 8-row binary-quantized query set broadcast (theta join
+    # on vec_id inequality — the sim_topk class)
+    "embedding_binary_quantize_recall",
     # round 6: the adaptive SemDeDup centroid broadcast — ladder-sized
     # (16..4096 rows, hard cap), a capped quantizer build side independent
     # of fact-table scale (the semdedup_cells class with a bounded k)

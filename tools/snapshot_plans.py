@@ -217,6 +217,16 @@ SHOW = [
     "graph_connected_components",
     "dsir_importance_weights",
     "values_inline_dim_join",
+    # round 7
+    "sim_ann_ivf_trained",
+    "filtered_aggregates_report",
+    "hilbert_curve_layout",
+    "graph_hits_step",
+    "forecast_holt_linear",
+    "colbert_maxsim_retrieval",
+    "mmr_diversified_topk",
+    "tokenizer_vocab_prune",
+    "als_rank1_round",
 ]
 
 

@@ -11,7 +11,8 @@ bound by design — 1,000 records/s/shard sustained write and 5 GetRecords
 calls/s/shard — so its single-node ceiling on an S-shard stream is
 S x 1,000 rec/s sustained. Both legs here run against a local JSON-file
 broker, so the measured rates are LOWER bounds on what the Spark machinery
-itself sustains (the simulator re-reads the whole shard file per call);
+itself sustains (since round 7 the simulator caches the parsed shard per
+file size, so paging is O(records) rather than O(records^2) characters);
 clearing the API envelope anyway demonstrates the engine side is not the
 bottleneck.
 
