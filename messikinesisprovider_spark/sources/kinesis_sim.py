@@ -137,6 +137,17 @@ class FakeKinesisClient:
             json.dump(obj, f)
         os.replace(tmp, path)
 
+    def _store_sidecar(self, path: str, obj) -> None:
+        """Plain (non-atomic) write for derived caches like the .count
+        sidecar: writers hold the flock, and readers (_load tolerates
+        ValueError; _shard_count validates size) treat a torn file as a
+        miss and recount — so the tempfile+os.replace dance (the dominant
+        cost of the publish path: 1.5 s of a 4.2 s 100k-record publish)
+        buys nothing here. Authoritative state (streams.json, faults,
+        reshard metadata) keeps the atomic _store."""
+        with open(path, "w") as f:
+            json.dump(obj, f)
+
     def _streams(self) -> dict:
         return self._load(self._streams_path(), {})
 
@@ -441,7 +452,9 @@ class FakeKinesisClient:
             path = self._shard_path(StreamName, sid)
             with open(path, "a") as f:
                 f.write("".join(json.dumps(r) + "\n" for r in rows))
-            self._store(path + ".count", {"count": counts[sid], "size": os.path.getsize(path)})
+            self._store_sidecar(
+                path + ".count", {"count": counts[sid], "size": os.path.getsize(path)}
+            )
         return {"FailedRecordCount": 0, "Records": results}
 
     def get_shard_iterator(
