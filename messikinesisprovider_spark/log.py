@@ -601,6 +601,7 @@ def ingest_dataframe(
     df: DataFrame,
     topic: str,
     now: datetime | None = None,
+    stage_col: str | None = None,
 ) -> None:
     """Distributed bulk publish: the scale path next to `MessiLog.publish`.
 
@@ -620,6 +621,14 @@ def ingest_dataframe(
 
     Input df columns: partition_key (required), external_id, ordering_group,
     ordering_seq, ts, data, attributes, source_client_id (all optional).
+
+    `stage_col` (staged backfill): name of an input column to ADDITIONALLY
+    partition the output by (dirs `<stage_col>=N/shard_id=X/`). One Spark
+    job stamps and writes every stage; the caller promotes stage dirs into
+    a live log root with O(1) renames between drains — the multi-pass
+    watermark-audit topologies use this to stage N passes with one job
+    instead of N (round-7 verdict item 4). Sequence numbers remain dense
+    per shard across the whole batch in ULID order, not per stage.
     """
     from pyspark.sql import types as T
     from pyspark.sql.window import Window as W
@@ -699,7 +708,11 @@ def ingest_dataframe(
         .withColumn("arrival_ts", F.lit(arrival.replace(tzinfo=None)))
         .withColumn("provider", provider)
         .withColumn("first_provider", provider)
-        .select(*[f.name for f in LOG_SCHEMA.fields])
+        .select(
+            *[f.name for f in LOG_SCHEMA.fields],
+            *([stage_col] if stage_col else []),
+        )
     )
-    out.write.mode("append").partitionBy("shard_id").parquet(log.root)
+    part_cols = ([stage_col] if stage_col else []) + ["shard_id"]
+    out.write.mode("append").partitionBy(*part_cols).parquet(log.root)
     log._next_seq = None  # force re-read of sequence state

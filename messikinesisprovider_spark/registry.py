@@ -274,7 +274,12 @@ def all_specs() -> dict[str, QuerySpec]:
     # rotation reaches them.
     for name in _DRIVER_PRIORITY:
         spec = _REGISTRY.get(name)
-        if spec is not None and name not in checked and name not in ordered:
+        if (
+            spec is not None
+            and name not in checked
+            and name not in ordered
+            and spec.oracle is not None  # rows-only never burns a priority slot
+        ):
             ordered[name] = spec
     for name, spec in _REGISTRY.items():
         if name not in checked and name not in ordered and spec.oracle is not None:
@@ -288,12 +293,15 @@ def all_specs() -> dict[str, QuerySpec]:
     return ordered
 
 
-# Round-7 driver-window priority (round-6 VERDICT item 1): the judge named
-# these round-6 additions as must-sample; they jump the insertion-order queue.
+# Round-8 driver-window priority (round-7 VERDICT item 1): the judge named
+# these round-7 additions as must-sample; they jump the insertion-order queue.
+# (The round-7 priorities — merge pipeline, CC, Kruskal-Wallis, Welch,
+# window_count_distinct, attribution_time_decay — all came back green in
+# CORRECTNESS_r07 and moved into _DRIVER_CHECKED below.)
 _DRIVER_PRIORITY = (
-    "streaming_kinesis_merge_pipeline", "graph_connected_components",
-    "kruskal_wallis_h", "welch_t_test", "window_count_distinct",
-    "attribution_time_decay",
+    "sim_ann_ivf_trained", "hilbert_curve_layout",
+    "streaming_kinesis_write_pipeline", "tokenizer_vocab_prune",
+    "embedding_binary_quantize_recall",
 )
 
 # Names with a driver-side CORRECTNESS row in any past round (union of
@@ -375,6 +383,27 @@ _DRIVER_CHECKED = frozenset({
     "skyline_pareto", "streaming_kinesis_pipeline_partitioned",
     "streaming_sequence_match", "streaming_stream_stream_left",
     "token_pmi_bigrams", "unpivot_measures",
+    # round 7 (CORRECTNESS_r07.json)
+    "anomaly_seasonal_residual", "attribution_linear",
+    "attribution_time_decay", "bpe_train_rounds", "changepoint_cusum_hourly",
+    "cooccur_window_pmi", "data_skipping_minmax_audit",
+    "dedup_containment_kmv", "embedding_pca_power_iter",
+    "embedding_standardize", "event_trigram_paths", "forecast_backtest_snaive",
+    "gdpr_delete_propagation", "graph_connected_components",
+    "graph_edges_materialized", "ingest_binaryfile_media",
+    "ingest_csv_documents", "ingest_jsonl_documents", "ingest_orc_documents",
+    "ingest_xml_documents", "ivm_agg_maintenance", "k_anonymity_audit",
+    "kmeans_lloyd_rounds", "kruskal_wallis_h", "l_diversity_audit",
+    "langid_confusion_matrix", "markov_transitions", "multimodal_frame_dedup",
+    "negative_sampling_hash", "partition_pruned_daily", "rolling_active_users",
+    "rolling_median_k", "scd2_incremental_merge", "sim_ann_pq_adc",
+    "sketch_agms_join_size", "sketch_countmin_merge",
+    "small_file_compaction_plan", "split_group_aware",
+    "streaming_dedup_within_watermark", "streaming_kinesis_merge_pipeline",
+    "streaming_late_drop_audit", "streaming_pit_enrich",
+    "streaming_scd2_maintenance", "streaming_sketch_maintenance",
+    "survival_hazard_bins", "threshold_sweep_quality", "user_growth_curve",
+    "welch_t_test", "window_count_distinct",
 })
 
 # Backwards-compatible alias (tests and notes from earlier rounds refer to

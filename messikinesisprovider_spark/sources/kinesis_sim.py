@@ -355,27 +355,43 @@ class FakeKinesisClient:
         draining an n-record shard used to re-parse the whole JSONL n/Limit
         times — O(n²) characters parsed, and the dominant cost of the
         end-to-end reshard/merge pipelines (measured 10.6 s of a 17 s run at
-        sf0.1). Same contract as the ``_shard_count`` sidecar: the cache is
-        keyed on file size, so any append (put_records or a test poking the
-        file directly) invalidates it; callers never mutate the returned
-        rows (get_records builds fresh dicts per page).
+        sf0.1). Stronger contract than the ``_shard_count`` sidecar: the
+        cache is keyed on (size, mtime_ns), so both appends (put_records or
+        a test poking the file directly) AND same-size in-place rewrites
+        invalidate it; callers never mutate the returned rows (get_records
+        builds fresh dicts per page). A torn read — a concurrent writer
+        appending between our stat and our read, leaving a partial final
+        JSON line — surfaces as ValueError; treated as a miss (returns the
+        complete-line prefix without caching, so the next call re-reads).
         """
         path = self._shard_path(stream, shard_id)
         try:
-            size = os.path.getsize(path)
+            st = os.stat(path)
         except OSError:
             return []
+        key = (st.st_size, st.st_mtime_ns)
         hit = _SHARD_PARSE_CACHE.get(path)
-        if hit is not None and hit[0] == size:
+        if hit is not None and hit[0] == key:
             return hit[1]
+        records: list[dict] = []
+        torn = False
         try:
             with open(path) as f:
-                records = [json.loads(line) for line in f if line.strip()]
+                for line in f:
+                    if not line.strip():
+                        continue
+                    try:
+                        records.append(json.loads(line))
+                    except ValueError:
+                        torn = True  # partial trailing line mid-append
+                        break
         except OSError:
             return []
+        if torn:
+            return records  # complete prefix, uncached — next call re-reads
         while len(_SHARD_PARSE_CACHE) >= _SHARD_PARSE_CACHE_MAX:
             _SHARD_PARSE_CACHE.pop(next(iter(_SHARD_PARSE_CACHE)))
-        _SHARD_PARSE_CACHE[path] = (size, records)
+        _SHARD_PARSE_CACHE[path] = (key, records)
         return records
 
     def _shard_count(self, stream: str, shard_id: str) -> int:
@@ -458,6 +474,20 @@ class FakeKinesisClient:
         return {"FailedRecordCount": 0, "Records": results}
 
     def get_shard_iterator(
+        self,
+        StreamName: str,
+        ShardId: str,
+        ShardIteratorType: str,
+        StartingSequenceNumber: str | None = None,
+        Timestamp=None,
+    ) -> dict:
+        with self._lock():
+            return self._get_shard_iterator_locked(
+                StreamName, ShardId, ShardIteratorType,
+                StartingSequenceNumber, Timestamp,
+            )
+
+    def _get_shard_iterator_locked(
         self,
         StreamName: str,
         ShardId: str,

@@ -52,7 +52,16 @@ def publish_phase(spark: SparkSession, sf_dir: str, statedir: str, phase: int) -
             F.coalesce(F.col("user_id").cast("string"), F.lit(_NULL_PK)).alias(
                 "partition_key"
             ),
-            F.col("event_id").cast("string").alias("external_id"),
+            # event_id is the phase key AND the dedup identity; a NULL here
+            # would fold into phase 0 via the coalesce above while external_id
+            # round-tripped differently from the retired collect-based
+            # publisher (str(None) vs SQL NULL). No fixture has NULL ids;
+            # fail loudly if a future nullable fixture appears (ADVICE r7).
+            # coalesce short-circuits, so raise_error only fires on NULL.
+            F.coalesce(
+                F.col("event_id").cast("string"),
+                F.raise_error(F.lit("publish_phase requires non-null event_id")),
+            ).alias("external_id"),
             F.create_map(F.lit("event_type"), F.col("event_type")).alias("attributes"),
         )
     )

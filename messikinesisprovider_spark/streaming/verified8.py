@@ -3,9 +3,11 @@ Structured Streaming user eventually asks about, executed and ORACLE-VERIFIED
 instead of asserted.
 
 ``streaming_late_drop_audit`` stages the events table into a fresh log in
-three deterministic passes and drains each through ONE windowed-aggregation
-query (1-hour tumbling windows, 1-hour watermark, append mode, one
-checkpoint):
+three deterministic passes — written by ONE staged ingest job
+(``ingest_dataframe(stage_col="stage")``) and promoted pass-by-pass into the
+streamed root with driver-side renames — and drains each through ONE
+windowed-aggregation query (1-hour tumbling windows, 1-hour watermark,
+append mode, one checkpoint):
 
 1. **on-time pass** — everything except a hash-selected late set; after it
    the watermark is exactly ``max(on-time ts) - 1h``.
@@ -102,13 +104,47 @@ def streaming_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pk_encode(F.col("user_id")).alias("partition_key"),
         F.col("event_id").cast("string").alias("external_id"),
         "ts",
-        is_late.alias("late"),
+        F.when(is_late, F.lit(2)).otherwise(F.lit(1)).alias("stage"),
     )
     root = os.path.join(tempfile.mkdtemp(prefix="latelog_"), "log")
-    log = MessiLog(spark, root, n_shards=4)
+    os.makedirs(root, exist_ok=True)
+    stage_root = os.path.join(tempfile.mkdtemp(prefix="latelog_stage_"), "log")
+    stage_log = MessiLog(spark, stage_root, n_shards=4)
     ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
     out_dir = tempfile.mkdtemp(prefix="late_out_") + "/out"
     t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def promote(stage: int) -> bool:
+        """O(1) rename of one staged pass into the streamed root.
+
+        Returns False when the stage wrote no rows (its partition dir does
+        not exist) — the empty-late-set case that previously cost a
+        dedicated count job.
+
+        Destination names are prefixed with the stage number: ONE write job
+        partitioned by (stage, shard_id) emits the SAME part-file basename
+        under every stage dir it touches (task id + job uuid), so an
+        un-prefixed rename would silently overwrite the previous pass's
+        file at the same path — the file source keys seen files by path and
+        would both lose the old rows and never discover the new ones."""
+        sdir = os.path.join(stage_root, f"stage={stage}")
+        if not os.path.isdir(sdir):
+            return False
+        moved = False
+        for shard_dir in os.listdir(sdir):
+            if not shard_dir.startswith("shard_id="):
+                continue
+            dst = os.path.join(root, shard_dir)
+            os.makedirs(dst, exist_ok=True)
+            src_dir = os.path.join(sdir, shard_dir)
+            for fn in os.listdir(src_dir):
+                if fn.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(src_dir, fn),
+                        os.path.join(dst, f"stage{stage}-{fn}"),
+                    )
+                    moved = True
+        return moved
 
     def drain():
         agg = (
@@ -128,21 +164,26 @@ def streaming_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
+    # ONE staged ingest stamps all three passes (round-7 verdict item 4: the
+    # three per-pass ingest jobs were the remaining fat); pass boundaries are
+    # then enforced by promoting each stage dir into the streamed root with
+    # driver-side renames between drains — microbatch == pass as before.
+    sentinel = spark.createDataFrame(
+        [("sentinel_" + uuid.uuid4().hex[:6], "sentinel", mx + timedelta(hours=2), 3)],
+        "partition_key string, external_id string, ts timestamp, stage int",
+    )
+    ingest_dataframe(
+        stage_log, src.unionByName(sentinel), "events", now=t0, stage_col="stage"
+    )
     with consume.state_partitions(spark):
         # pass 1: on-time rows set the watermark to max(on-time) - 1h
-        ingest_dataframe(log, src.filter(~F.col("late")).drop("late"), "events", now=t0)
+        promote(1)
         drain()
         # pass 2: the late set — engine drops windows with end <= wm
-        late_rows = src.filter(F.col("late")).drop("late")
-        if late_rows.limit(1).count():
-            ingest_dataframe(log, late_rows, "events", now=t0 + timedelta(seconds=1))
+        if promote(2):
             drain()
         # pass 3: sentinel advances the watermark past every real window end
-        sentinel = spark.createDataFrame(
-            [("sentinel_" + uuid.uuid4().hex[:6], "sentinel", mx + timedelta(hours=2))],
-            "partition_key string, external_id string, ts timestamp",
-        )
-        ingest_dataframe(log, sentinel, "events", now=t0 + timedelta(seconds=2))
+        promote(3)
         drain()
     emitted = spark.read.schema(schema).parquet(out_dir)
     return emitted.select("window_start", F.col("n_messages").cast("long").alias("n_messages"))
