@@ -94,9 +94,12 @@ def embedding_binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFr
     """Quantization is one codegen'd fold per vector (no shuffle); the
     Hamming scan is two XOR+popcount ops per pair — at 100 TB the words
     live as two BIGINT columns (16 bytes/vector vs 512), the query side is
-    broadcast, and the exact-cosine rerank touches only the Hamming top-k.
-    Here the cosine is attached to every ranked pair so the recall-vs-exact
-    audit (the eval the quantization decision needs) reads off the result."""
+    broadcast, and the exact-cosine rerank touches ONLY the Hamming top-k:
+    the pair shuffle into the per-query window carries (ids, hamming) — 24
+    bytes — and the survivors (n_queries x k rows) are broadcast back
+    against the embedding table to fetch both vectors for the rerank
+    (round-7 verdict item 6; previously the cosine was computed for every
+    scanned pair below the window)."""
     e = _unit_vectors(tbl(spark, sf_dir, "embeddings"))
     b = e.select(
         "vec_id",
@@ -105,13 +108,8 @@ def embedding_binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFr
         F.expr(_BQ_WORD_SPARK.format(lo=0, hi=31)).alias("w1"),
         F.expr(_BQ_WORD_SPARK.format(lo=32, hi=63)).alias("w2"),
     )
-    q = b.filter(F.col("vec_id") < N_QUERIES).alias("q")
-    c = b.alias("c")
-    cos = F.round(
-        F.expr("aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)")
-        / (F.col("q.nrm") * F.col("c.nrm")),
-        6,
-    ).cast("double")
+    q = b.select("vec_id", "w1", "w2").filter(F.col("vec_id") < N_QUERIES).alias("q")
+    c = b.select("vec_id", "w1", "w2").alias("c")
     hamming = (
         F.bit_count(F.col("q.w1").bitwiseXOR(F.col("c.w1")))
         + F.bit_count(F.col("q.w2").bitwiseXOR(F.col("c.w2")))
@@ -122,11 +120,24 @@ def embedding_binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("q.vec_id").alias("query_id"),
         F.col("c.vec_id").alias("neighbor_id"),
         hamming.alias("hamming"),
-        cos.alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
-    return scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
+    topk = scored.withColumn("rnk", F.row_number().over(w).cast("long")).filter(
         F.col("rnk") <= _BQ_TOPK
+    )
+    vecs = b.select("vec_id", "v", "nrm")
+    qv = F.broadcast(vecs.filter(F.col("vec_id") < N_QUERIES)).alias("qv")
+    cv = vecs.alias("cv")
+    cos = F.round(
+        F.expr("aggregate(zip_with(qv.v, cv.v, (x, y) -> x * y), 0D, (acc, p) -> acc + p)")
+        / (F.col("qv.nrm") * F.col("cv.nrm")),
+        6,
+    ).cast("double")
+    return (
+        F.broadcast(topk)
+        .join(qv, F.col("query_id") == F.col("qv.vec_id"))
+        .join(cv, F.col("neighbor_id") == F.col("cv.vec_id"))
+        .select("query_id", "neighbor_id", "hamming", cos.alias("cos_sim"), "rnk")
     )
 
 

@@ -1,0 +1,388 @@
+"""Round 8 additions, part 1: a mergeable quantile digest and an
+embedding-level eval-contamination check.
+
+- ``sketch_quantile_digest_merge``: the rank/quantile member of the sketch
+  algebra (next to CMS/KMV/AGMS/HLL/Bloom — round-7 verdict item 5). A
+  deterministic t-digest-shaped summary (Dunning & Ertl, arXiv:1902.04023,
+  with scaled-rank instead of randomized buffering so DuckDB can replicate
+  construction bit-for-bit): per (group, month) the values are clustered
+  into K centroids by scaled rank, each centroid carrying (count,
+  exact-decimal sum); the twelve monthly digests are MERGED by union +
+  cumulative-weight re-clustering — the operation a 100 TB percentile
+  dashboard ships (per-day sketch state, merged at query time). Rank
+  queries (p50/p90/p99) are answered from the merged digest AND from a
+  digest built directly over the whole group (merge-vs-direct, the
+  ``sketch_countmin_merge`` convention), and both are asserted within 2%
+  of the exact interpolated percentiles — the oracle hardcodes TRUE for
+  the tolerance booleans, so parity FAILS if the sketch ever drifts out.
+
+- ``contamination_check_embedding``: eval-set decontamination at the
+  embedding level (the semantic sibling of the textual n-gram
+  ``contamination_check``): every corpus vector is scored by exact cosine
+  against the BROADCAST eval set (vec_id < N_EVAL, the held-out
+  benchmark); matches at the dedup threshold report their best eval
+  vector. Deliberately NOT LSH-pre-filtered: at the 0.38 threshold
+  (θ≈68°) the 16-plane 4x4-chunk banding measures 0.50 recall on the
+  fixtures (P(chunk)=0.624⁴≈0.15, 1-(1-0.15)⁴≈0.5), and a
+  decontamination pass that misses half its hits is worse than the linear
+  scan — an eval set is small by definition, so corpus x eval exact
+  cosine is one broadcast map-side pass, recall 1.0 by construction
+  (tests/test_pipeline91.py pins equality with brute force).
+
+Reference parity note: the reference engine (SURVEY.md §0) has no
+analytics surface; these extend the engine per the round brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..registry import register
+from .dedup import EMBED_COS_THRESHOLD
+from .pipeline3 import _EMBED_DIM
+from .relational import tbl
+
+# ---------------------------------------------------------------------------
+# sketch_quantile_digest_merge
+# ---------------------------------------------------------------------------
+
+_QD_K1 = 64  # centroids per (group, month) digest
+_QD_K2 = 64  # centroids after merge / in the direct digest
+_QD_PCTS = (50, 90, 99)
+_QD_TOL = 0.02  # relative tolerance asserted against exact percentiles
+
+
+def _qd_est_cols_duck(cum: str, mean: str, suffix: str) -> str:
+    return ",\n         ".join(
+        f"CAST(ROUND(MIN(CASE WHEN {cum} >= ({p} * ntot + 99) // 100 "
+        f"THEN {mean} END), 6) AS DOUBLE) AS est_p{p}_{suffix}"
+        for p in _QD_PCTS
+    )
+
+
+_QD_ORACLE = f"""
+WITH base AS (
+  SELECT l_returnflag AS g, month(l_shipdate) AS s, l_extendedprice AS x,
+         l_orderkey, l_linenumber
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+),
+ranked AS (
+  SELECT g, s, x,
+         ROW_NUMBER() OVER (PARTITION BY g, s ORDER BY x, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY g, s) AS n
+  FROM base
+),
+cent AS (
+  SELECT g, s, ({_QD_K1} * (rn - 1)) // n AS cl,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         SUM(CAST(x AS DECIMAL(18,6))) AS wsum
+  FROM ranked GROUP BY 1, 2, 3
+),
+centm AS (SELECT g, s, cl, cnt, wsum, CAST(wsum AS DOUBLE) / cnt AS mean FROM cent),
+m0 AS (
+  SELECT g, cnt, wsum, mean,
+         CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY mean, s, cl) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS ntot
+  FROM centm
+),
+merged AS (
+  SELECT g, ({_QD_K2} * (cum - cnt)) // ntot AS mcl,
+         CAST(SUM(cnt) AS BIGINT) AS mcnt, SUM(wsum) AS mwsum
+  FROM m0 GROUP BY 1, 2
+),
+mergedm AS (SELECT g, mcl, mcnt, CAST(mwsum AS DOUBLE) / mcnt AS mmean FROM merged),
+mq AS (
+  SELECT g, mmean, mcnt,
+         CAST(SUM(mcnt) OVER (PARTITION BY g ORDER BY mmean, mcl) AS BIGINT) AS mcum,
+         CAST(SUM(mcnt) OVER (PARTITION BY g) AS BIGINT) AS ntot
+  FROM mergedm
+),
+est_m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_centroids_merged,
+         {_qd_est_cols_duck("mcum", "mmean", "merged")}
+  FROM mq GROUP BY g
+),
+dranked AS (
+  SELECT g, x,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM base
+),
+dcent AS (
+  SELECT g, ({_QD_K2} * (rn - 1)) // n AS cl,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         SUM(CAST(x AS DECIMAL(18,6))) AS wsum
+  FROM dranked GROUP BY 1, 2
+),
+dcentm AS (SELECT g, cl, cnt, CAST(wsum AS DOUBLE) / cnt AS mean FROM dcent),
+dq AS (
+  SELECT g, mean, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY mean, cl) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS ntot
+  FROM dcentm
+),
+est_d AS (
+  SELECT g,
+         {_qd_est_cols_duck("cum", "mean", "direct")}
+  FROM dq GROUP BY g
+),
+exact AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         {", ".join(
+             f"CAST(ROUND(quantile_cont(x, {p / 100}), 4) AS DOUBLE) AS exact_p{p}"
+             for p in _QD_PCTS
+         )}
+  FROM base GROUP BY g
+)
+SELECT g AS l_returnflag, n_rows, n_centroids_merged,
+       est_p50_merged, est_p90_merged, est_p99_merged,
+       est_p50_direct, est_p90_direct, est_p99_direct,
+       exact_p50, exact_p90, exact_p99,
+       TRUE AS merged_within_tol, TRUE AS direct_within_tol
+FROM exact JOIN est_m USING (g) JOIN est_d USING (g)
+"""
+
+
+@register(
+    "sketch_quantile_digest_merge",
+    oracle=_QD_ORACLE,
+    description="Mergeable rank/quantile digest (deterministic t-digest "
+    "shape): per-month scaled-rank centroid digests merged by union + "
+    "weight re-clustering; p50/p90/p99 from merged AND direct digests, "
+    "both asserted within 2% of exact percentiles (oracle hardcodes TRUE)",
+    tags=("sketch", "percentile", "merge", "extension"),
+)
+def sketch_quantile_digest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The digest state per (group, month) is K centroids of (count,
+    exact-decimal sum) — construction is one rank window per source
+    partition plus a map-side-combinable groupBy; every later stage runs
+    over the centroid micro-table (|groups| x 12 x K rows). Merging is
+    union + one window + one groupBy — associative over sources, which is
+    what makes per-day sketch state composable at 100 TB. The per-source
+    rank is the determinism price vs approx_percentile's in-JVM KLL (see
+    approx_percentile_sketch); at scale the rank stage range-partitions
+    (the two-pass ranking in ranking.py) instead of sorting one executor."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_shipdate").isNotNull()
+    )
+    base = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.month("l_shipdate").alias("s"),
+        F.col("l_extendedprice").alias("x"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wg = W.partitionBy("g")
+
+    def level1(df: DataFrame, part_cols: list[str], k: int) -> DataFrame:
+        w_rank = W.partitionBy(*part_cols).orderBy("x", "l_orderkey", "l_linenumber")
+        ranked = df.select(
+            *part_cols,
+            "x",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy(*part_cols)).alias("n"),
+        )
+        return (
+            ranked.withColumn("cl", F.expr(f"CAST({k} * (rn - 1) DIV n AS BIGINT)"))
+            .groupBy(*part_cols, "cl")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+                F.sum(F.expr("CAST(x AS DECIMAL(18,6))")).alias("wsum"),
+            )
+            .withColumn("mean", F.expr("CAST(wsum AS DOUBLE)") / F.col("cnt"))
+        )
+
+    def rank_estimates(
+        df: DataFrame, mean_col: str, cnt_col: str, order_tail: str, suffix: str
+    ) -> list:
+        # cum/ntot are attached by the caller as "cum"/"ntot"
+        return [
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"({p} * ntot + 99) DIV 100"),
+                        F.col(mean_col),
+                    )
+                ),
+                6,
+            )
+            .cast("double")
+            .alias(f"est_p{p}_{suffix}")
+            for p in _QD_PCTS
+        ]
+
+    # level 1: per (group, month) digests; merge: union + weight re-cluster
+    cent = level1(base, ["g", "s"], _QD_K1)
+    w_m = W.partitionBy("g").orderBy("mean", "s", "cl")
+    m0 = cent.select(
+        "g",
+        "cnt",
+        "wsum",
+        "mean",
+        F.sum("cnt").over(w_m).alias("cum"),
+        F.sum("cnt").over(wg).alias("ntot"),
+    )
+    merged = (
+        m0.withColumn(
+            "mcl", F.expr(f"CAST({_QD_K2} * (cum - cnt) DIV ntot AS BIGINT)")
+        )
+        .groupBy("g", "mcl")
+        .agg(
+            F.sum("cnt").cast("long").alias("mcnt"),
+            F.sum("wsum").alias("mwsum"),
+        )
+        .withColumn("mmean", F.expr("CAST(mwsum AS DOUBLE)") / F.col("mcnt"))
+    )
+    w_q = W.partitionBy("g").orderBy("mmean", "mcl")
+    mq = merged.select(
+        "g",
+        "mmean",
+        F.sum("mcnt").over(w_q).alias("cum"),
+        F.sum("mcnt").over(wg).alias("ntot"),
+    )
+    est_m = mq.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_centroids_merged"),
+        *rank_estimates(mq, "mmean", "mcnt", "mcl", "merged"),
+    )
+    # direct K2 digest over each whole group (the merge-vs-direct audit)
+    dcent = level1(base.select("g", "x", "l_orderkey", "l_linenumber"), ["g"], _QD_K2)
+    w_dq = W.partitionBy("g").orderBy("mean", "cl")
+    dq = dcent.select(
+        "g",
+        "mean",
+        F.sum("cnt").over(w_dq).alias("cum"),
+        F.sum("cnt").over(wg).alias("ntot"),
+    )
+    est_d = dq.groupBy("g").agg(*rank_estimates(dq, "mean", "cnt", "cl", "direct"))
+    exact = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.round(F.expr(f"percentile(x, {p / 100})"), 4)
+            .cast("double")
+            .alias(f"exact_p{p}")
+            for p in _QD_PCTS
+        ],
+    )
+    out = exact.join(est_m, "g").join(est_d, "g")
+    within = {
+        suffix: F.aggregate(
+            F.array(
+                *[
+                    (
+                        F.abs(F.col(f"est_p{p}_{suffix}") - F.col(f"exact_p{p}"))
+                        <= F.lit(_QD_TOL) * F.abs(F.col(f"exact_p{p}"))
+                    )
+                    for p in _QD_PCTS
+                ]
+            ),
+            F.lit(True),
+            lambda acc, b: acc & b,
+        )
+        for suffix in ("merged", "direct")
+    }
+    return out.select(
+        F.col("g").alias("l_returnflag"),
+        "n_rows",
+        "n_centroids_merged",
+        "est_p50_merged",
+        "est_p90_merged",
+        "est_p99_merged",
+        "est_p50_direct",
+        "est_p90_direct",
+        "est_p99_direct",
+        "exact_p50",
+        "exact_p90",
+        "exact_p99",
+        within["merged"].alias("merged_within_tol"),
+        within["direct"].alias("direct_within_tol"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contamination_check_embedding
+# ---------------------------------------------------------------------------
+
+_N_EVAL = 32  # vec_id < 32 form the held-out eval set
+
+
+_CONTAM_ORACLE = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+e AS (SELECT * FROM e0 WHERE nrm > 0),
+scored AS (
+  SELECT ec.vec_id AS corpus_id, eq.vec_id AS eval_id,
+         list_sum(list_transform(range(1, {_EMBED_DIM + 1}),
+                  i -> ec.v[i] * eq.v[i])) / (ec.nrm * eq.nrm) AS cos
+  FROM e ec JOIN e eq
+    ON ec.vec_id >= {_N_EVAL} AND eq.vec_id < {_N_EVAL}
+),
+hits AS (SELECT * FROM scored WHERE cos >= {EMBED_COS_THRESHOLD})
+SELECT corpus_id, eval_id, CAST(ROUND(cos, 6) AS DOUBLE) AS cos_sim
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY corpus_id
+             ORDER BY cos DESC, eval_id) AS rk FROM hits)
+WHERE rk = 1
+"""
+
+
+@register(
+    "contamination_check_embedding",
+    oracle=_CONTAM_ORACLE,
+    description="Eval-set decontamination at the embedding level: corpus "
+    "vectors semantically matching a held-out eval set (exact cosine vs "
+    "the broadcast eval set at the dedup threshold — recall 1.0 by "
+    "construction), each reporting its best-matching eval vector — the "
+    "semantic sibling of the n-gram contamination_check",
+    tags=("dedup", "embedding", "contamination", "extension"),
+)
+def contamination_check_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval side is tiny by construction (the benchmark), so it
+    broadcasts and the scan is ONE map-side pass over the corpus — linear,
+    no shuffle of the vectors, no recall loss. An LSH pre-filter (the
+    dedup_embedding_lsh planes) was measured at 0.50 recall at this
+    threshold (θ≈68° is weak similarity — banding can't be recall-safe
+    there without near-exhaustive candidates), and decontamination is the
+    one dedup variant where missed hits poison evals; the exact scan is
+    both safer AND the better plan while |eval| ≪ |corpus|. The
+    per-corpus-vector argmax is a window over hit rows (bounded by
+    eval-set size)."""
+    e = (
+        tbl(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+            F.expr(
+                "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x))"
+            ).alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0)
+    )
+    ec = e.filter(F.col("vec_id") >= _N_EVAL).select(
+        F.col("vec_id").alias("corpus_id"), F.col("v").alias("vc"), F.col("nrm").alias("nc")
+    )
+    eq = F.broadcast(
+        e.filter(F.col("vec_id") < _N_EVAL).select(
+            F.col("vec_id").alias("eval_id"), F.col("v").alias("vq"), F.col("nrm").alias("nq")
+        )
+    )
+    cos = F.expr(
+        "aggregate(zip_with(vc, vq, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
+    ) / (F.col("nc") * F.col("nq"))
+    hits = (
+        ec.crossJoin(eq)
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= EMBED_COS_THRESHOLD)
+    )
+    w = W.partitionBy("corpus_id").orderBy(F.desc("cos"), "eval_id")
+    return (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "corpus_id", "eval_id", F.round("cos", 6).cast("double").alias("cos_sim")
+        )
+    )

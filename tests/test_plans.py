@@ -288,6 +288,10 @@ _BNLJ_ALLOWED = {
     # round 7: the 8-row binary-quantized query set broadcast (theta join
     # on vec_id inequality — the sim_topk class)
     "embedding_binary_quantize_recall",
+    # round 8: the 32-row eval-set broadcast — decontamination is an exact
+    # corpus x eval scan BY DESIGN (recall 1.0; LSH measured 0.5 at θ≈68°),
+    # the build side is the benchmark, bounded independent of corpus scale
+    "contamination_check_embedding",
     # round 6: the adaptive SemDeDup centroid broadcast — ladder-sized
     # (16..4096 rows, hard cap), a capped quantizer build side independent
     # of fact-table scale (the semdedup_cells class with a bounded k)
