@@ -380,6 +380,14 @@ HEADLINE = [
     "embedding_binary_quantize_recall",
     "bm25_phrase_proximity",
     "shard_token_budget_pack",
+    # round 8: mergeable quantile digest (batch + streaming maintenance),
+    # embedding-level decontamination, generation-eval metrics, preference
+    # pairing and the budget apportionment planner
+    "sketch_quantile_digest_merge",
+    "contamination_check_embedding",
+    "streaming_quantile_digest_maintenance",
+    "eval_rouge_n_f1",
+    "dpo_pair_construction",
 ]
 
 

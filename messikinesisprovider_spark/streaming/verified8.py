@@ -54,6 +54,36 @@ _LATE_MOD = 5
 _LATE_AGE_H = 48
 _WM = "1 hour"
 
+
+def _promote_stage(stage_root: str, root: str, stage: int) -> bool:
+    """O(1) rename of one staged ingest pass into a streamed log root.
+
+    Returns False when the stage wrote no rows (its partition dir does not
+    exist). Destination names are prefixed with the stage number: ONE write
+    job partitioned by (stage, shard_id) emits the SAME part-file basename
+    under every stage dir it touches (task id + job uuid), so an
+    un-prefixed rename would silently overwrite the previous pass's file
+    at the same path — the file source keys seen files by path and would
+    both lose the old rows and never discover the new ones."""
+    sdir = os.path.join(stage_root, f"stage={stage}")
+    if not os.path.isdir(sdir):
+        return False
+    moved = False
+    for shard_dir in os.listdir(sdir):
+        if not shard_dir.startswith("shard_id="):
+            continue
+        dst = os.path.join(root, shard_dir)
+        os.makedirs(dst, exist_ok=True)
+        src_dir = os.path.join(sdir, shard_dir)
+        for fn in os.listdir(src_dir):
+            if fn.endswith(".parquet"):
+                os.rename(
+                    os.path.join(src_dir, fn),
+                    os.path.join(dst, f"stage{stage}-{fn}"),
+                )
+                moved = True
+    return moved
+
 _LATE_ORACLE = f"""
 WITH ev AS (
   SELECT event_id, ts FROM events WHERE ts IS NOT NULL
@@ -115,36 +145,9 @@ def streaming_late_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
 
     def promote(stage: int) -> bool:
-        """O(1) rename of one staged pass into the streamed root.
-
-        Returns False when the stage wrote no rows (its partition dir does
-        not exist) — the empty-late-set case that previously cost a
-        dedicated count job.
-
-        Destination names are prefixed with the stage number: ONE write job
-        partitioned by (stage, shard_id) emits the SAME part-file basename
-        under every stage dir it touches (task id + job uuid), so an
-        un-prefixed rename would silently overwrite the previous pass's
-        file at the same path — the file source keys seen files by path and
-        would both lose the old rows and never discover the new ones."""
-        sdir = os.path.join(stage_root, f"stage={stage}")
-        if not os.path.isdir(sdir):
-            return False
-        moved = False
-        for shard_dir in os.listdir(sdir):
-            if not shard_dir.startswith("shard_id="):
-                continue
-            dst = os.path.join(root, shard_dir)
-            os.makedirs(dst, exist_ok=True)
-            src_dir = os.path.join(sdir, shard_dir)
-            for fn in os.listdir(src_dir):
-                if fn.endswith(".parquet"):
-                    os.rename(
-                        os.path.join(src_dir, fn),
-                        os.path.join(dst, f"stage{stage}-{fn}"),
-                    )
-                    moved = True
-        return moved
+        # empty late set => stage 2 dir absent => False (this check
+        # previously cost a dedicated count job)
+        return _promote_stage(stage_root, root, stage)
 
     def drain():
         agg = (

@@ -57,3 +57,37 @@ def test_bulk_ingest_rejects_missing_partition_key(spark, tmp_path):
         ingest_dataframe(
             log, spark.createDataFrame([(None, "x")], "partition_key string, external_id string"), "t"
         )
+
+
+def test_staged_ingest_stage_col(spark, tmp_path):
+    """stage_col writes stage=N/shard_id=X dirs whose union is the input,
+    with LOG_SCHEMA intact inside each stage (round-8 staged backfills)."""
+    import os
+
+    log = MessiLog(spark, str(tmp_path / "staged"), n_shards=4)
+    src = spark.range(900).select(
+        F.concat(F.lit("u-"), (F.col("id") % 53).cast("string")).alias("partition_key"),
+        F.col("id").cast("string").alias("external_id"),
+        ((F.col("id") % 3) + 1).cast("int").alias("stage"),
+    )
+    ingest_dataframe(log, src, "t", now=T0, stage_col="stage")
+    for s in (1, 2, 3):
+        assert os.path.isdir(os.path.join(log.root, f"stage={s}"))
+    df = spark.read.parquet(log.root)
+    assert df.count() == 900
+    # per-stage counts match the modulus split; external_ids round-trip
+    got = {r["stage"]: r["n"] for r in df.groupBy("stage").agg(F.count("*").alias("n")).collect()}
+    assert got == {1: 300, 2: 300, 3: 300}
+    ids = sorted(int(r["external_id"]) for r in df.select("external_id").collect())
+    assert ids == list(range(900))
+    # sequences stay dense per shard across the whole staged batch
+    seqs = {
+        r["shard_id"]: r["mx"]
+        for r in df.groupBy("shard_id")
+        .agg(F.max("sequence_number").alias("mx"), F.count("*").alias("n"))
+        .withColumn("ok", F.col("mx") == F.col("n") - 1)
+        .collect()
+    }
+    per_shard = {r["shard_id"]: r["n"] for r in df.groupBy("shard_id").agg(F.count("*").alias("n")).collect()}
+    for sid, mx in seqs.items():
+        assert mx == per_shard[sid] - 1

@@ -273,6 +273,60 @@ def _rollup_query(rng: random.Random) -> str:
     )
 
 
+def _join_null_query(rng: random.Random) -> str:
+    """Join-type x null-handling axes (round-7 verdict item 9): outer joins
+    over keys with CONSTRUCTED NULLs (NULLIF on a modulus, so every fixture
+    exercises the axis) and heavy duplicates (small modulus), `=` vs
+    IS NOT DISTINCT FROM, semi/anti via EXISTS under duplicates, and the
+    three-valued IN / NOT IN against a NULL-laden subquery. Conventions
+    baked in: EXISTS correlations stay equality-only (Spark cannot
+    decorrelate a non-equality correlated predicate, so the null-safe
+    comparison axis rides the explicit JOINs); aggregates over outer joins
+    count both COUNT(*) and COUNT(nullable) so null-extension rows are
+    load-bearing in the compare."""
+    k1, m1 = rng.randrange(40, 400), rng.randrange(0, 40)
+    k2, m2 = rng.randrange(40, 400), rng.randrange(0, 40)
+    pa = _pred(rng, INT_COLS, STR_COLS, FLAGS + STATUS)
+    pb = _pred(
+        rng, O_INT, O_STR, STATUS + ["1-URGENT", "2-HIGH", "3-MEDIUM"], ts_col="o_orderdate"
+    )
+    cte = (
+        f"WITH a AS (SELECT NULLIF(l_orderkey % {k1}, {m1}) AS ak, "
+        f"l_linenumber AS av, l_returnflag AS tag FROM lineitem WHERE {pa}), "
+        f"b AS (SELECT NULLIF(o_orderkey % {k2}, {m2}) AS bk, o_custkey AS bv "
+        f"FROM orders WHERE {pb}) "
+    )
+    shape = rng.randrange(5)
+    if shape == 0:  # join flavors x (= | null-safe) under NULL keys + dups
+        jt = rng.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+        eq = rng.choice(["a.ak = b.bk", "a.ak IS NOT DISTINCT FROM b.bk"])
+        return cte + (
+            f"SELECT tag, COUNT(*) AS m0, COUNT(b.bk) AS m1, "
+            f"CAST(SUM(COALESCE(b.bv, -1)) AS BIGINT) AS m2, "
+            f"COUNT(DISTINCT a.ak) AS m3 "
+            f"FROM a {jt} b ON {eq} GROUP BY tag"
+        )
+    if shape == 1:  # semi under duplicates: one output row per a row
+        return cte + (
+            f"SELECT tag, COUNT(*) AS m0, CAST(SUM(av) AS BIGINT) AS m1 FROM a "
+            f"WHERE EXISTS (SELECT 1 FROM b WHERE a.ak = b.bk) GROUP BY tag"
+        )
+    if shape == 2:  # anti: NULL keys never match '=' so they all survive
+        return cte + (
+            f"SELECT tag, COUNT(*) AS m0, COUNT(ak) AS m1 FROM a "
+            f"WHERE NOT EXISTS (SELECT 1 FROM b WHERE a.ak = b.bk) GROUP BY tag"
+        )
+    if shape == 3:  # three-valued IN / NOT IN vs a NULL-laden key set
+        neg = rng.choice(["", "NOT "])
+        return cte + (
+            f"SELECT tag, COUNT(*) AS m0 FROM a "
+            f"WHERE ak {neg}IN (SELECT bk FROM b) GROUP BY tag"
+        )
+    # INTERSECT/EXCEPT [ALL] on nullable keys: NULLs compare equal here
+    op = rng.choice(["INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"])
+    return cte + f"SELECT ak FROM a {op} SELECT bk FROM b"
+
+
 def gen_query(seed: int) -> str:
     rng = random.Random(seed)
     shape = rng.random()
@@ -286,6 +340,8 @@ def gen_query(seed: int) -> str:
         return _setop_query(rng)
     if shape < 0.44:
         return _doc_query(rng)
+    if shape < 0.54:
+        return _join_null_query(rng)
     joined = rng.random() < 0.4
     if joined:
         int_cols = INT_COLS + O_INT
