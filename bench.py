@@ -388,6 +388,10 @@ HEADLINE = [
     "streaming_quantile_digest_maintenance",
     "eval_rouge_n_f1",
     "dpo_pair_construction",
+    "ngram_lm_kneser_ney",
+    "session_window_dynamic_gap",
+    "dedup_cdc_chunks",
+    "eval_rank_biased_overlap",
 ]
 
 
