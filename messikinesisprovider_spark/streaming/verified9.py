@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import os
 import tempfile
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,7 +78,9 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         "ts",
     )
     root = os.path.join(tempfile.mkdtemp(prefix="dedupwm_"), "log")
-    log = MessiLog(spark, root, n_shards=4)
+    os.makedirs(root, exist_ok=True)
+    stage_root = os.path.join(tempfile.mkdtemp(prefix="dedupwm_stage_"), "log")
+    stage_log = MessiLog(spark, stage_root, n_shards=4)
     ckpt = tempfile.mkdtemp(prefix="dwm_ckpt_")
     out_dir = tempfile.mkdtemp(prefix="dwm_out_") + "/out"
     t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
@@ -100,15 +102,23 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         )
         q.awaitTermination()
 
-    if src.limit(1).count() == 0:  # empty source
-        return spark.createDataFrame([], schema)
+    # ONE staged ingest (round-8: the per-pass ingest jobs and both
+    # limit-count probe jobs were the fixed cost here); pass boundaries are
+    # enforced by promoting stage dirs between drains — absent stage dirs
+    # double as the empty-source / no-duplicates checks for free.
+    from .verified8 import _promote_stage
+
+    staged = src.withColumn("stage", F.lit(1)).unionByName(
+        dups.withColumn("stage", F.lit(1))
+    ).unionByName(dups.withColumn("stage", F.lit(2)))
+    ingest_dataframe(stage_log, staged, "events", now=t0, stage_col="stage")
     with consume.state_partitions(spark):
         # pass 1: originals + same-batch duplicates (dedup by key, nothing late)
-        ingest_dataframe(log, src.unionByName(dups), "events", now=t0)
+        if not _promote_stage(stage_root, root, 1):  # empty source
+            return spark.createDataFrame([], schema)
         drain()
         # pass 2: the duplicates AGAIN — recent ones die as in-state
         # duplicates, old ones as late rows; zero new emissions either way
-        if dups.limit(1).count():
-            ingest_dataframe(log, dups, "events", now=t0 + timedelta(seconds=1))
+        if _promote_stage(stage_root, root, 2):
             drain()
     return spark.read.schema(schema).parquet(out_dir)
