@@ -292,6 +292,13 @@ _BNLJ_ALLOWED = {
     # corpus x eval scan BY DESIGN (recall 1.0; LSH measured 0.5 at θ≈68°),
     # the build side is the benchmark, bounded independent of corpus scale
     "contamination_check_embedding",
+    # round 8: per-round 1-row triangle/edge report-row crossJoins (the
+    # graph_kcore_peel class) and the 1-row u-probability broadcast into
+    # the Fellegi-Sunter scoring select
+    "graph_ktruss_peel", "er_fellegi_sunter",
+    # round 8: the 1-row global distinct-bigram scalar broadcast (the
+    # continuation-probability denominator)
+    "ngram_lm_kneser_ney",
     # round 6: the adaptive SemDeDup centroid broadcast — ladder-sized
     # (16..4096 rows, hard cap), a capped quantizer build side independent
     # of fact-table scale (the semdedup_cells class with a bounded k)
