@@ -259,6 +259,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import pipeline93  # noqa: F401  (round 8, appended)
     from .operators import pipeline94  # noqa: F401  (round 8, appended)
     from .operators import pipeline95  # noqa: F401  (round 8, appended)
+    from .operators import pipeline96  # noqa: F401  (round 8, appended)
 
     # Driver-coverage rotation (rounds 4-5): the driver's correctness harness
     # executes the FIRST 50 registry entries each round, so without rotation
