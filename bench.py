@@ -392,6 +392,16 @@ HEADLINE = [
     "session_window_dynamic_gap",
     "dedup_cdc_chunks",
     "eval_rank_biased_overlap",
+    # round 8, session 2: the b-bit signature audit, edge-cohesion truss,
+    # JL projection audit, probabilistic linkage, spectral perceptual hash,
+    # DP release and the Zipf tail index
+    "dedup_minhash_bbit",
+    "graph_ktruss_peel",
+    "embedding_jl_distortion",
+    "er_fellegi_sunter",
+    "image_whash_spectral_dedup",
+    "dp_noisy_count_release",
+    "token_zipf_hill",
 ]
 
 
