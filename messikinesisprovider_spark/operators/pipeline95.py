@@ -416,9 +416,11 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             F.col("blk").alias("block"),
-            (F.col("sa") == F.col("sb")).cast("int").alias("ag_seg"),
-            (F.col("ba") == F.col("bb")).cast("int").alias("ag_bal"),
-            (F.col("pa") == F.col("pb")).cast("int").alias("ag_cents"),
+            # when/otherwise, not a bare cast: a NULL field must read as
+            # disagreement (0) exactly like the oracle's CASE, never NULL
+            F.when(F.col("sa") == F.col("sb"), 1).otherwise(0).alias("ag_seg"),
+            F.when(F.col("ba") == F.col("bb"), 1).otherwise(0).alias("ag_bal"),
+            F.when(F.col("pa") == F.col("pb"), 1).otherwise(0).alias("ag_cents"),
         )
         .filter(F.col("ag_seg") + F.col("ag_bal") + F.col("ag_cents") >= _FS_MIN_AGREE)
     )

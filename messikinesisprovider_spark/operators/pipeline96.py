@@ -208,7 +208,7 @@ def _dp_noise(u: str) -> str:
     )
 
 
-_DP_KEY = "CONCAT(event_type, ':', day)"
+_DP_KEY = "CONCAT(COALESCE(event_type, '~'), ':', COALESCE(day, '~'))"  # Spark CONCAT is NULL-propagating, DuckDB's is not
 _DP_U_DUCK = f"(({h60_duck(_DP_KEY)}) + 0.5) / 1152921504606846976.0"
 _DP_ORACLE = f"""
 WITH counts AS (
