@@ -119,7 +119,7 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MODE_ORACLE = """
 WITH c AS (
   SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
-  FROM customer GROUP BY 1, 2
+  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2
 )
 SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey,
        c_mktsegment AS mode_segment,
@@ -145,8 +145,11 @@ def mode_per_group_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         WITH c AS (
+          -- SQL MODE() ignores NULLs; without the filter a NULL-segment
+          -- plurality would win under Spark's NULLS FIRST tiebreak and
+          -- lose under DuckDB's NULLS LAST
           SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
-          FROM customer_mode GROUP BY 1, 2
+          FROM customer_mode WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2
         )
         SELECT CAST(c_nationkey AS INT) AS c_nationkey,
                c_mktsegment AS mode_segment,

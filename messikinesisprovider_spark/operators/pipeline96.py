@@ -299,7 +299,8 @@ logsum AS (
   GROUP BY 1
 )
 SELECT l.source, l.k_used, x.f_tail,
-       CAST(ROUND(l.k_used / l.s, 6) AS DOUBLE) AS alpha_hill
+       CAST(CASE WHEN l.s > 0 THEN ROUND(l.k_used / l.s, 6) END AS DOUBLE)
+         AS alpha_hill
 FROM logsum l JOIN tail x ON x.source = l.source
 ORDER BY l.source
 """
@@ -352,7 +353,11 @@ def token_zipf_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "k_used",
             "f_tail",
-            F.round(F.col("k_used") / F.col("s"), 6).cast("double").alias("alpha_hill"),
+            # a flat top-k (every f_i == f_tail, the hot-token skew shape)
+            # zeroes the log-sum: alpha is undefined, not a DIVIDE_BY_ZERO
+            F.when(F.col("s") > 0, F.round(F.col("k_used") / F.col("s"), 6))
+            .cast("double")
+            .alias("alpha_hill"),
         )
         .orderBy("source")
     )

@@ -196,8 +196,8 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percent_rank_cume",
     oracle="""
     SELECT c_custkey, c_acctbal,
-           CAST(ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS DOUBLE) AS pct_rank,
-           CAST(ROUND(CUME_DIST()    OVER (ORDER BY c_acctbal, c_custkey), 6) AS DOUBLE) AS cume
+           CAST(ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal NULLS LAST, c_custkey), 6) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(CUME_DIST()    OVER (ORDER BY c_acctbal NULLS LAST, c_custkey), 6) AS DOUBLE) AS cume
     FROM customer
     """,
     description="PERCENT_RANK and CUME_DIST distribution windows",
@@ -209,7 +209,11 @@ def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ranking import cume_dist_of, global_row_number, percent_rank_of
 
     c = tbl(spark, sf_dir, "customer")
-    ranked, n = global_row_number(c, ["c_acctbal", "c_custkey"], rn_col="_rn")
+    # explicit NULLS LAST: Spark ASC defaults NULLS FIRST, DuckDB NULLS
+    # LAST — a NULL balance must rank last in both engines
+    ranked, n = global_row_number(
+        c, [F.asc_nulls_last("c_acctbal"), "c_custkey"], rn_col="_rn"
+    )
     return ranked.select(
         "c_custkey",
         "c_acctbal",

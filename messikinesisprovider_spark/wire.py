@@ -80,7 +80,10 @@ def encode_message(msg: dict) -> bytes:
         entry = _len_field(1, k.encode()) + _len_field(2, bytes(msg["data"][k]))
         out += _len_field(_FIELDS["data"], entry)
     for k in sorted(msg.get("attributes") or {}):
-        entry = _len_field(1, k.encode()) + _len_field(2, msg["attributes"][k].encode())
+        v = msg["attributes"][k]
+        if v is None:
+            continue  # map<string,string> semantics: a NULL value is an absent key
+        entry = _len_field(1, k.encode()) + _len_field(2, v.encode())
         out += _len_field(_FIELDS["attributes"], entry)
     if msg.get("timestamp_ms") is not None:
         out += _varint_field(_FIELDS["timestamp_ms"], msg["timestamp_ms"])

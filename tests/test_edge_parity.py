@@ -58,6 +58,8 @@ EDGE_QUERIES = [
     "sketch_distinct_rollup",     # xxhash64(NULL) phantom item + tol floor
     "text_hashed_embedding_pool", # zero-token source pooling
     "streaming_cdc_upsert",       # publish sentinel + HUGEINT arg_max key
+    "er_fellegi_sunter",          # NULL field agreement = 0, not NULL (when/otherwise vs CASE)
+    "dp_noisy_count_release",     # NULL group key in seed (Spark CONCAT propagates NULL, DuckDB skips)
 ]
 
 

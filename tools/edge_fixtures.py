@@ -41,9 +41,26 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
 
-    # TPC-H tables: copy unchanged (their nullable surface is empty by spec).
-    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+    # TPC-H tables: copy unchanged (their nullable surface is empty by spec)
+    # — except customer, which since round 8 carries NULL dimension fields
+    # (mktsegment / acctbal) so blocked-pair and segment-grouping queries
+    # exercise the NULL-agreement path (the er_fellegi_sunter class).
+    for t in ["region", "nation", "supplier", "part", "orders", "lineitem"]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{SRC}/customer.parquet')
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES
+            (900001, 'Customer#000900001', 0, NULL, NULL),
+            (900002, 'Customer#000900002', 0, NULL, 'BUILDING'),
+            (900003, 'Customer#000900003', 0, -12.34, NULL)
+          ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+        ) TO '{OUT}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
 
     con.execute(
         f"""
@@ -77,7 +94,8 @@ def main():
             (900003, TIMESTAMP '{t0}', 777,  'click',    2.5,  NULL),
             (900004, TIMESTAMP '{t0}', 777,  'click',    NULL, '{{}}'),
             (900005, TIMESTAMP '{t0}', 777,  'error',    0.0,  '{{}}'),
-            (900006, TIMESTAMP '{t0}', 778,  'purchase', 9.9,  '{{"a":1}}')
+            (900006, TIMESTAMP '{t0}', 778,  'purchase', 9.9,  '{{"a":1}}'),
+            (900007, TIMESTAMP '{t0}', 779,  NULL,       1.0,  '{{}}')
           ) t(event_id, ts, user_id, event_type, value, props)
         ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
         """

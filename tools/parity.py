@@ -37,8 +37,11 @@ def duck_connect(sf_dir: str):
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize for sort: all to string via repr of python objects
-    key = df.astype(str)
+    # canonicalize for sort: all to string via repr of python objects.
+    # NA cells must share ONE token first: Spark hands None ('None') where
+    # DuckDB hands NaN ('nan') in object columns (e.g. a NULL boolean), and
+    # differing sort keys would misalign otherwise-identical row sets.
+    key = df.astype(str).mask(df.isna(), "\x00NULL")
     order = key.sort_values(by=list(df.columns)).index
     return df.loc[order].reset_index(drop=True)
 

@@ -58,6 +58,13 @@ QUERIES = [
     "ewma_user_value",
     "sketch_countmin_topk",
     "anomaly_mad_flags",
+    # round 8, session 2: edge-cohesion peel, compressed-signature audit,
+    # spectral perceptual hash, weighted sampling, JL projection audit
+    "graph_ktruss_peel",
+    "dedup_minhash_bbit",
+    "image_whash_spectral_dedup",
+    "sample_weighted_topk_es",
+    "embedding_jl_distortion",
     "skyline_pareto",
     "percentile_bands_hourly",
     "fuzzy_join_lev",
@@ -272,6 +279,7 @@ BIG_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_adaptive",
+    "dedup_minhash_bbit",
     "semdedup_adaptive",
     "dedup_winnowing_overlap",
     "url_canonicalize_dedup",
@@ -349,6 +357,7 @@ D4_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_adaptive",
+    "dedup_minhash_bbit",
     "semdedup_adaptive",
     "knn_graph_adaptive",
     "sim_ann_ivf_hashseed",
