@@ -57,12 +57,15 @@ def grouped_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_tbl(spark, sf_dir).select("user_id", "event_id", "ts", "event_type", "value")
 
     def features(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
         uid0 = pdf["user_id"].iloc[0]
         # NULL user_id is a real group under groupBy; Arrow hands it as NaN
         uid = None if pd.isna(uid0) else int(uid0)
+        # gaps are defined over rows WITH a timestamp only: a NaT would
+        # otherwise turn into the int64 min sentinel under astype and poison
+        # every diff (the SQL LAG twin yields NULL gaps there and drops them)
+        valid = pdf[pdf["ts"].notna()].sort_values(["ts", "event_id"])
         # normalize to ns regardless of whether Arrow hands pandas us or ns
-        ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        ts_ns = valid["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
         gaps = np.diff(ts_ns)
         mean_gap = round(float(gaps.mean()) / 1e9, 4) if len(gaps) else None
         return pd.DataFrame(

@@ -49,7 +49,7 @@ _SCD2_CTES = f"""
     ev AS (
       SELECT event_id, user_id, ts,
              CAST(floor(value / {TIER_BAND}) AS BIGINT) AS tier
-      FROM events WHERE user_id IS NOT NULL
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     flagged AS (
       SELECT *,
@@ -97,10 +97,15 @@ def scd2_versions_from(ev: DataFrame) -> DataFrame:
 
 
 def scd2_event_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (event_id, user_id, ts, tier) projection every SCD2 build uses."""
+    """The (event_id, user_id, ts, tier) projection every SCD2 build uses.
+
+    A temporal history is undefined for an event with no timestamp: a NULL
+    ts would sort NULLS FIRST in Spark but NULLS LAST in DuckDB and shift
+    every downstream version number, so untimestamped events are excluded
+    by contract (matching the streaming maintainers)."""
     return (
         events_tbl(spark, sf_dir)
-        .where(F.col("user_id").isNotNull())
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select(
             "event_id",
             "user_id",
@@ -154,7 +159,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SCD2_CTES},
     clicks AS (
       SELECT event_id, user_id, ts FROM events
-      WHERE event_type = 'click' AND user_id IS NOT NULL
+      WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
     ),
     un AS (
       SELECT user_id, valid_from AS ts, 1 AS kind, version, tier,
@@ -189,7 +194,11 @@ def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions = _scd2_versions(spark, sf_dir)
     clicks = (
         events_tbl(spark, sf_dir)
-        .where((F.col("event_type") == "click") & F.col("user_id").isNotNull())
+        .where(
+            (F.col("event_type") == "click")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
         .select("event_id", "user_id", "ts")
     )
     vrows = versions.select(

@@ -153,7 +153,7 @@ WITH evs AS (
   SELECT event_id, user_id, ts, value, epoch_us(ts) AS e,
          (SELECT MIN(epoch_us(ts)) FROM events WHERE user_id IS NOT NULL) AS lo,
          (SELECT MAX(epoch_us(ts)) FROM events WHERE user_id IS NOT NULL) AS hi
-  FROM events WHERE user_id IS NOT NULL
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
 ),
 affected AS (SELECT DISTINCT user_id FROM evs WHERE (e - lo) * 50 >= 49 * (hi - lo)),
 {_versions_cte("v_full", "TRUE")},

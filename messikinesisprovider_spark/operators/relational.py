@@ -528,18 +528,22 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_value,
-           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
+             AS prev_type
     FROM events
     """,
     description="Running sum (ROWS frame) + LAG over per-user event streams",
     tags=("window", "frame"),
 )
 def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit NULLS LAST: Spark ASC defaults NULLS FIRST, DuckDB NULLS
+    # LAST — an untimestamped event must take the same slot in the running
+    # frame in both engines (event_id breaks ties among them)
     ev = events_tbl(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     return ev.select(
         "user_id",
         "event_id",
@@ -838,13 +842,16 @@ def having_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            {_osum("value", "sum_value")}
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY date_trunc('hour', ts)::TIMESTAMP, event_type
     """,
     description="1-hour tumbling windows over event time (batch twin of streaming window())",
     tags=("window-time", "agg", "streaming-analog"),
 )
 def time_bucket_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_tbl(spark, sf_dir)
+    # window() silently drops NULL event times; make the contract explicit
+    # (the SQL twin would otherwise keep a NULL bucket per group)
+    ev = events_tbl(spark, sf_dir).filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))

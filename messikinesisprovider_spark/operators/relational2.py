@@ -87,7 +87,7 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > 1800000000
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sessions AS (
       SELECT user_id, ts,
@@ -106,7 +106,10 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("session", "window", "temporal"),
 )
 def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_tbl(spark, sf_dir)
+    # sessions are defined over timestamped events only: a NULL ts has no
+    # gap to its neighbors (and would sort NULLS FIRST here, NULLS LAST in
+    # ANSI engines — a latent cross-engine session-count divergence)
+    ev = events_tbl(spark, sf_dir).filter(F.col("ts").isNotNull())
     wo = W.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
         "user_id",
@@ -170,18 +173,22 @@ def interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            LEAD(event_type, 1, 'none') OVER w AS next_type,
            FIRST_VALUE(event_type) OVER w AS first_type,
-           LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           LAST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST,
+                                        event_id
                                         ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND UNBOUNDED FOLLOWING) AS final_type
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     """,
     description="Navigation windows: LEAD with default, FIRST_VALUE, whole-partition LAST_VALUE",
     tags=("window", "navigation"),
 )
 def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit NULLS LAST (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST):
+    # an untimestamped event navigates as the LAST element of its user's
+    # timeline in both engines
     ev = events_tbl(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return ev.select(
         "event_id",

@@ -164,8 +164,12 @@ def scd2_maintain(
         _swap(store, events_dir)
 
         affected = slim.select("partition_key").distinct()
+        # a version chain is undefined for an untimestamped event (matches
+        # scd2_event_projection's batch contract): keep it in the event
+        # store but exclude it from the temporal recompute
         ev = (
             spark.read.parquet(events_dir)
+            .filter(F.col("ts").isNotNull())
             .join(affected, "partition_key", "left_semi")
             .select(
                 F.col("external_id").cast("bigint").alias("event_id"),

@@ -77,6 +77,7 @@ def _staged_events_log(spark: SparkSession, sf_dir: str) -> str:
     SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
            COUNT(*) AS n_messages
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """,
     description="REAL streaming pipeline: log → readStream → 1h tumbling windows → drain; oracle-checked",
@@ -86,7 +87,9 @@ def streaming_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import consume
 
     root = _staged_events_log(spark, sf_dir)
-    stream = consume.stream_log(spark, root)
+    # window() drops NULL event times on the wire; the filter makes that
+    # contract explicit so the oracle twin carries the same predicate
+    stream = consume.stream_log(spark, root).filter(F.col("ts").isNotNull())
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"))
@@ -142,7 +145,7 @@ def streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                        >= 1800000000
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sessions AS (
       SELECT user_id, ts,
@@ -172,7 +175,8 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import consume
 
     root = _staged_events_log(spark, sf_dir)
-    stream = consume.stream_log(spark, root)
+    # session_window() drops NULL event times; explicit filter = explicit contract
+    stream = consume.stream_log(spark, root).filter(F.col("ts").isNotNull())
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.col("partition_key"), F.session_window("ts", "30 minutes").alias("w"))

@@ -41,9 +41,11 @@ from .verified4 import _staged_events_log_sentinel
            p.event_id AS purchase_event_id,
            epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
     FROM (SELECT * FROM events
-          WHERE event_type = 'click' AND user_id IS NOT NULL) c
+          WHERE event_type = 'click' AND user_id IS NOT NULL
+            AND ts IS NOT NULL) c
     FULL JOIN (SELECT * FROM events
-               WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                 AND ts IS NOT NULL) p
       ON c.user_id = p.user_id
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 7 DAY
     """,

@@ -83,7 +83,7 @@ def _staged_events_log_sentinel(spark: SparkSession, sf_dir: str) -> str:
       ON c.user_id = p.user_id
      AND p.event_type = 'purchase'
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 7 DAY
-    WHERE c.event_type = 'click' AND c.user_id IS NOT NULL
+    WHERE c.event_type = 'click' AND c.user_id IS NOT NULL AND c.ts IS NOT NULL
     """,
     description="REAL streaming pipeline: watermarked LEFT OUTER "
     "stream-stream join (clicks with their 7-day purchases, null-padded "

@@ -39,7 +39,7 @@ from .verified2 import _drain_append
     WITH {_SCD2_CTES},
     clicks AS (
       SELECT event_id, user_id, ts FROM events
-      WHERE event_type = 'click' AND user_id IS NOT NULL
+      WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
     ),
     un AS (
       SELECT user_id, valid_from AS ts, 1 AS kind, version, tier,
@@ -104,6 +104,7 @@ def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         consume.stream_log(spark, root)
         .filter(F.col("attributes")["event_type"] == "click")
         .filter(F.col("partition_key") != _NULL_PK)
+        .filter(F.col("ts").isNotNull())
         .select(
             F.col("external_id").cast("bigint").alias("click_event_id"),
             F.col("partition_key").cast("bigint").alias("user_id"),

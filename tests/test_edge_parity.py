@@ -60,6 +60,11 @@ EDGE_QUERIES = [
     "streaming_cdc_upsert",       # publish sentinel + HUGEINT arg_max key
     "er_fellegi_sunter",          # NULL field agreement = 0, not NULL (when/otherwise vs CASE)
     "dp_noisy_count_release",     # NULL group key in seed (Spark CONCAT propagates NULL, DuckDB skips)
+    # round-8 session-3 NULL-ts classes (fixture injects NULL event ts):
+    "sessionize_gaps",            # untimestamped events excluded from sessions (NULLS FIRST/LAST split)
+    "scd2_history",               # temporal build requires ts (version numbering shift)
+    "window_running_frame",       # explicit ts NULLS LAST in running frames
+    "time_bucket_tumbling",       # window() drops NULL ts; oracle filter matches
 ]
 
 

@@ -13,7 +13,9 @@ Injected edges:
 - documents: NULL text / empty text / whitespace-only / unicode+emoji /
   single-char / exact duplicate of an existing doc / NULL lang+source.
 - events: NULL user_id, NULL value, NULL props, duplicate (user_id, ts)
-  pairs with distinct event_ids (tiebreak stress), a user with one event.
+  pairs with distinct event_ids (tiebreak stress), a user with one event,
+  and (round 8) NULL ts — the NULLS FIRST/LAST stress for every window
+  ordered by time, gap sessionization, and time-bucketed grouping.
 - embeddings: the zero vector (norm 0 -> division-by-zero paths), a
   negative-only vector, NULL label.
 
@@ -95,7 +97,10 @@ def main():
             (900004, TIMESTAMP '{t0}', 777,  'click',    NULL, '{{}}'),
             (900005, TIMESTAMP '{t0}', 777,  'error',    0.0,  '{{}}'),
             (900006, TIMESTAMP '{t0}', 778,  'purchase', 9.9,  '{{"a":1}}'),
-            (900007, TIMESTAMP '{t0}', 779,  NULL,       1.0,  '{{}}')
+            (900007, TIMESTAMP '{t0}', 779,  NULL,       1.0,  '{{}}'),
+            (900008, CAST(NULL AS TIMESTAMP), 777, 'click',    1.5,  '{{}}'),
+            (900009, CAST(NULL AS TIMESTAMP), NULL, NULL,      NULL, NULL),
+            (900010, CAST(NULL AS TIMESTAMP), 778, 'purchase', 3.3,  '{{}}')
           ) t(event_id, ts, user_id, event_type, value, props)
         ) TO '{OUT}/events.parquet' (FORMAT PARQUET)
         """
