@@ -402,6 +402,14 @@ HEADLINE = [
     "image_whash_spectral_dedup",
     "dp_noisy_count_release",
     "token_zipf_hill",
+    # round 8, session 3: survival curve, robust slope, trend test,
+    # game-theoretic attribution, sequential + ratio-metric experimentation
+    "survival_kaplan_meier",
+    "robust_theil_sen_slope",
+    "mann_kendall_trend",
+    "attribution_shapley_exact",
+    "ab_sprt_sequential",
+    "ab_ratio_delta_method",
 ]
 
 
