@@ -410,6 +410,12 @@ HEADLINE = [
     "attribution_shapley_exact",
     "ab_sprt_sequential",
     "ab_ratio_delta_method",
+    "offpolicy_ips_dr_eval",
+    "text_char_entropy",
+    "forecast_croston_intermittent",
+    "er_em_mu_estimation",
+    "ldp_randomized_response",
+    "streaming_sprt_monitor",
 ]
 
 
