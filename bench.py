@@ -416,6 +416,7 @@ HEADLINE = [
     "er_em_mu_estimation",
     "ldp_randomized_response",
     "streaming_sprt_monitor",
+    "data_shapley_knn",
 ]
 
 

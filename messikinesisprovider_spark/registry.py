@@ -267,6 +267,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from .operators import pipeline100  # noqa: F401  (round 8, appended)
     from .operators import pipeline101  # noqa: F401  (round 8, appended)
     from .streaming import verified18 as _verified18  # noqa: F401  (round 8, appended)
+    from .operators import pipeline102  # noqa: F401  (round 8, appended)
 
     # Driver-coverage rotation (rounds 4-5): the driver's correctness harness
     # executes the FIRST 50 registry entries each round, so without rotation
