@@ -65,6 +65,12 @@ QUERIES = [
     "image_whash_spectral_dedup",
     "sample_weighted_topk_es",
     "embedding_jl_distortion",
+    # round 8, session 3: corpus-scale char entropy, per-part demand fold,
+    # survival curve fold, broadcast-panel data valuation
+    "text_char_entropy",
+    "forecast_croston_intermittent",
+    "survival_kaplan_meier",
+    "data_shapley_knn",
     "skyline_pareto",
     "percentile_bands_hourly",
     "fuzzy_join_lev",
