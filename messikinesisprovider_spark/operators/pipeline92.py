@@ -105,33 +105,35 @@ def _pairs(spark: SparkSession, sf_dir: str):
     return c, r
 
 
-def _grams(c, r):
+def _bigrams(c, r):
+    """Per-side bigram rows straight off the token array: adjacent split()
+    elements joined map-side — same strings the old LEAD-window produced,
+    but with zero shuffle (the window sorted the full token explode by
+    (pair_id, side, p) first; adjacency is already explicit in the array).
+    The size >= 2 guard is required because Spark's sequence(1, 0) DESCENDS
+    ([1, 0]) instead of being empty; bind1 keeps split() evaluated once."""
+    from .dedup import bind1
+
     pairs = c.join(r, c["cand_id"] == r["join_id"]).select(
         "pair_id", "src", "cand_text", "ref_text"
     )
-    toks = None
+    grams = None
     for side, col in [("c", "cand_text"), ("r", "ref_text")]:
-        t = pairs.select(
+        bg = bind1(
+            f"split({col}, ' ')",
+            "t",
+            "CASE WHEN size(t) >= 2 THEN "
+            "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', t[i - 1], t[i])) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END",
+        )
+        g = pairs.select(
             "pair_id",
             "src",
             F.lit(side).alias("side"),
-            F.posexplode(F.split(F.col(col), " ")).alias("p", "w"),
+            F.explode(F.expr(bg)).alias("g"),
         )
-        toks = t if toks is None else toks.unionAll(t)
-    wlead = W.partitionBy("pair_id", "side").orderBy("p")
-    uni = toks.select("pair_id", "src", "side", F.lit(1).alias("n"), F.col("w").alias("g"))
-    bi = (
-        toks.withColumn("nx", F.lead("w").over(wlead))
-        .filter(F.col("nx").isNotNull())
-        .select(
-            "pair_id",
-            "src",
-            "side",
-            F.lit(2).alias("n"),
-            F.concat_ws(" ", "w", "nx").alias("g"),
-        )
-    )
-    return uni.unionAll(bi)
+        grams = g if grams is None else grams.unionAll(g)
+    return grams
 
 
 @register(
@@ -156,7 +158,7 @@ def eval_rouge_n_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip join); the F1 identity 2PR/(P+R) == 2m/(ct+rt) keeps it one
     division from exact integers."""
     c, r = _pairs(spark, sf_dir)
-    grams = _grams(c, r).filter(F.col("n") == 2)
+    grams = _bigrams(c, r)
     gcounts = grams.groupBy("pair_id", "src", "side", "g").agg(
         F.count(F.lit(1)).alias("c")
     )

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..registry import register
-from .dedup import h60_duck, h60_spark
+from .dedup import bind1, h60_duck, h60_spark
 from .relational import events_tbl, tbl
 
 # ---------------------------------------------------------------------------
@@ -208,9 +208,14 @@ _CDC_MIN_LEN = 16  # ignore fragments below this
 
 def _roll_spark(i: str) -> str:
     # polynomial hash of the 8 chars ENDING at position i (1-based):
-    # sum(codepoint * 31^(7-k)); pure integer, fits BIGINT
+    # sum(codepoint * 31^(7-k)); pure integer, fits BIGINT. Reads the
+    # precomputed codepoint array `cp` (0-based) instead of calling
+    # substr(text, pos, 1) per term: UTF8String substring is O(pos) (it
+    # walks bytes to find the codepoint boundary), which made the original
+    # per-position 8-term probe O(len^2) per document — the array is built
+    # once per row, so the whole boundary scan is O(8 * len).
     terms = [
-        f"(ascii(substr(text, {i} - {_CDC_WIN - 1} + {k}, 1)) * {31 ** (_CDC_WIN - 1 - k)}L)"
+        f"(cp[{i} - {_CDC_WIN - k}] * {31 ** (_CDC_WIN - 1 - k)}L)"
         for k in range(_CDC_WIN)
     ]
     return "(" + " + ".join(terms) + ")"
@@ -277,13 +282,17 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", F.length("text").alias("ln"))
     )
     # distinct BEFORE sort: DuckDB's list_distinct does not preserve order,
-    # so the portable shape is dedupe-then-sort in both engines
-    bexpr = (
+    # so the portable shape is dedupe-then-sort in both engines.
+    # The codepoint array is bound ONCE via bind1 (a bare projected column
+    # would be re-inlined by CollapseProject into every one of the 8 lambda
+    # references — recomputing the split per boundary position).
+    body = (
         f"array_sort(array_distinct(concat(array(0), "
         f"filter(transform(sequence({_CDC_WIN}, ln), "
         f"i -> CASE WHEN {_roll_spark('i')} % {_CDC_MOD} = 0 THEN i END), "
         f"x -> x IS NOT NULL), array(ln))))"
     )
+    bexpr = bind1("transform(split(text, ''), ch -> ascii(ch))", "cp", body)
     cuts = docs.select("doc_id", "text", F.expr(bexpr).alias("b"))
     chunks = cuts.select(
         "doc_id",

@@ -292,6 +292,10 @@ _BNLJ_ALLOWED = {
     # corpus x eval scan BY DESIGN (recall 1.0; LSH measured 0.5 at θ≈68°),
     # the build side is the benchmark, bounded independent of corpus scale
     "contamination_check_embedding",
+    # round 8 session 3: the 4-row h60-sampled test-panel broadcast (the
+    # contamination_check_embedding class — build side is the fixed panel,
+    # independent of corpus scale; theta filter t.vec_id <> q.test_id)
+    "data_shapley_knn",
     # round 8: per-round 1-row triangle/edge report-row crossJoins (the
     # graph_kcore_peel class) and the 1-row u-probability broadcast into
     # the Fellegi-Sunter scoring select
