@@ -125,13 +125,19 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_tokens") >= _W)
     )
     gram = h60_spark(f"concat_ws(' ', slice(tk, i + 1, {_W}))")
+    # Persist the hashed spans: the corpus-frequency aggregate, both report
+    # branches and the island chain each re-evaluate this subtree otherwise
+    # (the md5 span explode appears FOUR times in the unpersisted physical
+    # plan — no exchange is reusable across the differently-shaped
+    # consumers). Same production shape as MinHash signatures: fingerprints
+    # are materialized once, joined thereafter.
     spans = t.select(
         "doc_id",
         "n_tokens",
         F.explode(
             F.expr(f"transform(sequence(0, n_tokens - {_W}), i -> struct(i AS pos, {gram} AS gh))")
         ).alias("u"),
-    ).select("doc_id", "n_tokens", F.col("u.pos").alias("pos"), F.col("u.gh").alias("gh"))
+    ).select("doc_id", "n_tokens", F.col("u.pos").alias("pos"), F.col("u.gh").alias("gh")).persist()
 
     freq = spans.groupBy("gh").agg(F.count(F.lit(1)).alias("n"))
     joined = spans.join(freq, "gh")

@@ -72,7 +72,11 @@ def negative_sampling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey").alias("p")
     )
-    pos = orders.join(li, "o_orderkey").select("c", "p").distinct()
+    # Persist the positive set: both the candidate explode AND the
+    # collision anti-join probe it, and without materialization each side
+    # re-runs the orders-lineitem join + distinct (two scans of each table
+    # in the unpersisted plan, no reusable exchange across the two shapes).
+    pos = orders.join(li, "o_orderkey").select("c", "p").distinct().persist()
     dom = tbl(spark, sf_dir, "part").agg(F.max("p_partkey").alias("n_parts"))
     cand = (
         pos.crossJoin(F.broadcast(dom))

@@ -101,18 +101,17 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines pin identically."""
     o = tbl(spark, sf_dir, "orders")
     li = tbl(spark, sf_dir, "lineitem")
-    base = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey")
-        .agg(
-            F.any_value("o_orderpriority").alias("priority"),
-            F.datediff(F.min("l_shipdate"), F.any_value("o_orderdate"))
-            .cast("long")
-            .alias("dur_days"),
-            F.max(
-                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
-            ).alias("obs"),
-        )
+    # Aggregate lineitem to one MIN(l_shipdate) row per order BEFORE the
+    # join (guide §2.3 "aggregate before you shuffle"): the old shape joined
+    # every lineitem row to its order and only then grouped by o_orderkey,
+    # shuffling the full fact table with order columns attached. All other
+    # aggregated columns were order-side constants (any_value/max of a
+    # per-order value), so the rewrite is exact.
+    minship = li.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("_ms"))
+    base = o.join(minship, o.o_orderkey == minship.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("_ms"), F.col("o_orderdate")).cast("long").alias("dur_days"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("obs"),
     )
     g = base.groupBy("priority", "dur_days").agg(
         F.sum("obs").cast("long").alias("d"),
