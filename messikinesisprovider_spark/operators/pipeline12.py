@@ -47,7 +47,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from .dedup import h60_duck, h60_spark
-from .relational import tbl
+from .relational import spread, tbl
 
 # Minimum duplicated-substring length in tokens. The paper uses 50 BPE
 # tokens against web-scale corpora; the synthetic docs average ~55 words, so
@@ -118,7 +118,10 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval merge in a doc-partitioned window -> per-doc report. One
     shuffle on the span hash, one on doc_id; no doc-pair join anywhere.
     """
-    d = tbl(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # spread(): the per-position md5 span hashing is CPU-bound map work and
+    # the single-file test table scans as ONE partition (no-op at real
+    # split counts).
+    d = spread(tbl(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
     t = (
         d.select("doc_id", F.split("text", " ").alias("tk"))
         .withColumn("n_tokens", F.size("tk").cast("bigint"))  # size() is INT32; oracle LEN() is BIGINT

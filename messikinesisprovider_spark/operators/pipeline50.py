@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..registry import register
 from .dedup import h60_duck, h60_spark
 from .ranking import global_row_number
-from .relational import events_tbl
+from .relational import events_tbl, spread
 
 # ---------------------------------------------------------------------------
 # ks_test_drift_exact
@@ -160,8 +160,11 @@ HAVING SUM(m) > 0
 )
 def bootstrap_mean_ci_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = h60_spark("'bs|' || CAST(event_id AS STRING) || '|' || CAST(b AS STRING)")
+    # spread(): 32 md5 evaluations per event are CPU-bound map work, and the
+    # single-file test table scans as ONE partition — without the round-robin
+    # the whole resample explode runs on one core (no-op at real split counts).
     ev = (
-        events_tbl(spark, sf_dir)
+        spread(events_tbl(spark, sf_dir))
         .filter(F.col("value").isNotNull())
         .select("event_id", F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"))
     )

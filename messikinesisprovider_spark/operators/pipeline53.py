@@ -44,7 +44,7 @@ from pyspark.sql.window import Window as W
 
 from ..registry import register
 from .dedup import bind1
-from .relational import events_tbl, tbl
+from .relational import events_tbl, spread, tbl
 
 # ---------------------------------------------------------------------------
 # setsim_prefix_filter_join
@@ -137,7 +137,11 @@ FROM best WHERE rk = 1
     tags=("dedup", "similarity", "join", "llm-pipeline", "extension"),
 )
 def setsim_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread(): the regexp shingling is CPU-bound map work and the
+    # single-file test table scans as ONE partition (no-op at real split
+    # counts). Persisting tok was tried and measured worse (see
+    # OPTIMIZATION_r08.md) — the parallel scan is the cheap fix.
+    docs = spread(tbl(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     # 3-word shingles; bind1 evaluates the word array once (CollapseProject
     # would otherwise re-run the regexp per reference), and the CASE guards
     # sequence() against size < 3 (a negative-step sequence, not empty).

@@ -309,7 +309,10 @@ def tokenizer_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine)."""
     from .ranking import global_row_number
 
-    docs = tbl(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # spread(): the 2..4-gram piece explode is CPU-bound map work and the
+    # single-file test table scans as ONE partition (no-op at real split
+    # counts).
+    docs = spread(tbl(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
     pieces = (
         words.select(

@@ -40,7 +40,7 @@ from pyspark.sql.window import Window as W
 
 from ..registry import register
 from .dedup import bind1, h60_duck, h60_spark
-from .relational import events_tbl, tbl
+from .relational import events_tbl, spread, tbl
 
 # ---------------------------------------------------------------------------
 # ngram_lm_kneser_ney
@@ -276,8 +276,11 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n_chars/32 slim rows. Boundaries depend only on local 8-char windows,
     so an insertion shifts at most the chunk it lands in — the property
     fixed-width spans (dedup_exact_substring) lack."""
+    # spread(): the boundary scan + chunk md5 are CPU-bound per-row work,
+    # and the single-file test table scans as ONE partition — round-robin
+    # unlocks every core for the map stage (no-op at real split counts).
     docs = (
-        tbl(spark, sf_dir, "documents")
+        spread(tbl(spark, sf_dir, "documents"))
         .filter(F.col("text").isNotNull() & (F.length("text") >= _CDC_WIN))
         .select("doc_id", "text", F.length("text").alias("ln"))
     )

@@ -52,6 +52,18 @@ def get_spark(app_name: str = "messikinesisprovider_spark", cpus: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE may rewrite a sort-merge join to a shuffled-hash join at
+        # runtime when every post-shuffle partition of the build side is
+        # under this threshold (guide §3.1) — sizes are KNOWN at that point,
+        # so unlike preferSortMergeJoin=false this cannot OOM on a
+        # mis-estimate. Scale-safe by construction: the bound is per
+        # partition, not per table, and 64 MB/partition is modest against
+        # the executor memory both locally and on a cluster. Parameterised
+        # for experiments; "0" disables (the Spark default).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_AQE_SHJ_THRESHOLD", "64m"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
