@@ -119,7 +119,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the span hash, one on doc_id; no doc-pair join anywhere.
     """
     # spread(): the per-position md5 span hashing is CPU-bound map work and
-    # the single-file test table scans as ONE partition (no-op at real
+    # the single-file test table scans as ONE partition (gated: skipped at real
     # split counts).
     d = spread(tbl(spark, sf_dir, "documents")).where(F.col("text").isNotNull())
     t = (

@@ -330,7 +330,7 @@ def corr_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # spread(): the test table is ONE parquet split -> the 14 decimal partial
     # sums would run on one core (measured 4.1s); round-robin repartition
-    # parallelizes the partials (1.1s) and is a no-op on a real multi-split
+    # parallelizes the partials (1.1s) and is skipped (gated) on a real multi-split
     # table. Decimal partials dominate this query's cost, not the scan.
     a = spread(tbl(spark, sf_dir, "lineitem")).agg(*aggs)
     # ONE aggregate, six rows: a union of six selects over the same agg

@@ -108,28 +108,52 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
     )
     maxd = base.agg(F.max("last_day").alias("corpus_max"))
+    # Persisted: the three rankings and the final re-association join all
+    # read the customer-grain frame (released by the session clearCache
+    # contract, relational.py module doc).
     rfm = base.crossJoin(F.broadcast(maxd)).select(
         "custkey",
         "frequency",
         "monetary",
         F.datediff(F.col("corpus_max"), F.col("last_day")).alias("recency_days"),
-    )
-    ranked, n = global_row_number(
-        rfm, [F.col("recency_days").asc(), F.col("custkey").asc()], rn_col="_rn_r"
-    )
-    ranked = ranked.withColumn("r_q", ntile_of(F.col("_rn_r"), n, 4))
-    ranked, n = global_row_number(
-        ranked, [F.col("frequency").desc(), F.col("custkey").asc()], rn_col="_rn_f"
-    )
-    ranked = ranked.withColumn("f_q", ntile_of(F.col("_rn_f"), n, 4))
-    ranked, n = global_row_number(
-        ranked, [F.col("monetary").desc(), F.col("custkey").asc()], rn_col="_rn_m"
-    )
-    ranked = ranked.withColumn("m_q", ntile_of(F.col("_rn_m"), n, 4))
-    return ranked.groupBy("r_q", "f_q", "m_q").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum("custkey").cast("long").alias("cust_checksum"),
-        F.sum("monetary").cast("double").alias("total_monetary"),
+    ).persist()
+    # Round 9 (guide §2.6 "overlap independent jobs"): the three quartile
+    # rankings were CHAINED — each two-pass ranking re-range-shuffled the
+    # ever-wider frame and its eager offset jobs serialized, 9 jobs end to
+    # end. The orderings differ (recency asc / frequency desc / monetary
+    # desc) so they cannot share one range partitioning, but they are
+    # INDEPENDENT: each now ranks a narrow (custkey, metric) projection and
+    # the three eager passes run concurrently from a thread pool; quartiles
+    # re-attach by the unique custkey. Identical per-metric ordering +
+    # identical ntile_of arithmetic -> identical quartiles -> identical
+    # output rows.
+    metric = {"r_q": "recency_days", "f_q": "frequency", "m_q": "monetary"}
+    orders_by = {
+        "r_q": [F.col("recency_days").asc(), F.col("custkey").asc()],
+        "f_q": [F.col("frequency").desc(), F.col("custkey").asc()],
+        "m_q": [F.col("monetary").desc(), F.col("custkey").asc()],
+    }
+
+    def quartile(alias: str) -> DataFrame:
+        ranked, n = global_row_number(
+            rfm.select("custkey", metric[alias]), orders_by[alias], rn_col="_rn"
+        )
+        return ranked.select("custkey", ntile_of(F.col("_rn"), n, 4).alias(alias))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        q_r, q_f, q_m = pool.map(quartile, ["r_q", "f_q", "m_q"])
+    return (
+        rfm.join(q_r, "custkey")
+        .join(q_f, "custkey")
+        .join(q_m, "custkey")
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("custkey").cast("long").alias("cust_checksum"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
     )
 
 

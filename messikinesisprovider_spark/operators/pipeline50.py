@@ -162,7 +162,7 @@ def bootstrap_mean_ci_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = h60_spark("'bs|' || CAST(event_id AS STRING) || '|' || CAST(b AS STRING)")
     # spread(): 32 md5 evaluations per event are CPU-bound map work, and the
     # single-file test table scans as ONE partition — without the round-robin
-    # the whole resample explode runs on one core (no-op at real split counts).
+    # the whole resample explode runs on one core (gated: skipped at real split counts).
     ev = (
         spread(events_tbl(spark, sf_dir))
         .filter(F.col("value").isNotNull())

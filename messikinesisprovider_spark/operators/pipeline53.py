@@ -138,7 +138,7 @@ FROM best WHERE rk = 1
 )
 def setsim_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread(): the regexp shingling is CPU-bound map work and the
-    # single-file test table scans as ONE partition (no-op at real split
+    # single-file test table scans as ONE partition (gated: skipped at real split
     # counts). Persisting tok was tried and measured worse (see
     # OPTIMIZATION_r08.md) — the parallel scan is the cheap fix.
     docs = spread(tbl(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())

@@ -70,7 +70,7 @@ def ansi_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_add/try_cast pays a caught JVM ArithmeticException/NumberFormat
     # per poisoned row — ~2 s single-core at sf0.1), and the single-file
     # test scan gives ONE input partition. On a real multi-split table this
-    # round-robin is a no-op; locally it unlocks all cores (3.1 s → <0.5 s).
+    # round-robin is gated off (spread() skips it); locally it unlocks all cores (3.1 s → <0.5 s).
     ev = (
         spread(events_tbl(spark, sf_dir).filter(F.col("value").isNotNull()))
         .select(

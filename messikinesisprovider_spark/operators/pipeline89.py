@@ -310,7 +310,7 @@ def tokenizer_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ranking import global_row_number
 
     # spread(): the 2..4-gram piece explode is CPU-bound map work and the
-    # single-file test table scans as ONE partition (no-op at real split
+    # single-file test table scans as ONE partition (gated: skipped at real split
     # counts).
     docs = spread(tbl(spark, sf_dir, "documents")).filter(F.col("text").isNotNull())
     words = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))

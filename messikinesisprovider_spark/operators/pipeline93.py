@@ -278,7 +278,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width spans (dedup_exact_substring) lack."""
     # spread(): the boundary scan + chunk md5 are CPU-bound per-row work,
     # and the single-file test table scans as ONE partition — round-robin
-    # unlocks every core for the map stage (no-op at real split counts).
+    # unlocks every core for the map stage (gated: skipped at real split counts).
     docs = (
         spread(tbl(spark, sf_dir, "documents"))
         .filter(F.col("text").isNotNull() & (F.length("text") >= _CDC_WIN))

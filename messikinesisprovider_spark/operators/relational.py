@@ -15,6 +15,20 @@ skew and partition coalescing at scale.
 
 Determinism conventions (shared with the DuckDB oracles) are documented in
 registry.py.
+
+Cache-release contract (round 9, verdict item 6): operator builders may
+``persist()`` an intermediate that several branches of the RETURNED lazy
+frame consume (MinHash signatures, span tables, duel pair tables, ranking
+layouts). Such a persist cannot be released inside the builder — the
+returned frame still references it — so the engine-wide contract is
+caller-side: **run ``spark.catalog.clearCache()`` after consuming a query's
+action**. Every harness in this repo honors it (bench.py clears between
+timed passes, tools/parity.py between queries, the pytest suite per
+module); a long-lived host session embedding this engine must do the same.
+``tests/test_persist_release.py`` pins that clearCache() leaves zero
+persisted RDDs behind for the persist-heavy operators. Loop-style operators
+that materialize eagerly INSIDE the builder (the graph family) release
+their per-round state themselves and are exempt from the contract.
 """
 
 from __future__ import annotations
@@ -54,14 +68,32 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the session's parallelism.
+    """Unlock scan parallelism for CPU-bound map stages — gated on the
+    input's ACTUAL partition count (round-9, verdict item 1).
 
     The test tables are single parquet files → one input partition → zero
-    parallelism for compute-heavy per-row operators. A real 100 TB table
-    arrives in thousands of splits so this is a no-op there (AQE coalesces
-    any excess); locally it unlocks all cores for the CPU-bound stages.
+    parallelism for compute-heavy per-row operators (md5 hashing, regexp
+    shingling, big array transforms); locally a round-robin repartition to
+    the session parallelism unlocks all cores. But `repartition(n)` plans as
+    REPARTITION_BY_NUM — a strict user shuffle AQE will neither coalesce nor
+    elide — so applied unconditionally it would plant a full-table
+    round-robin shuffle (plus the SPARK-23207 per-task pre-shuffle sort)
+    into the 100 TB path and CLAMP a many-split scan down to
+    defaultParallelism. The gate below checks the physical scan's partition
+    count and returns the frame untouched whenever it already meets the
+    session parallelism, which is every real multi-split table; only the
+    under-split local fixtures pay the shuffle.
+
+    Callers must pass scan-level frames (scan/filter/project only — every
+    current call site does): `df.rdd.getNumPartitions()` merely PLANS such a
+    frame (no job), but on a frame with an exchange below it AQE would have
+    to materialize child stages to answer.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def dsum(term_sql: str, alias: str) -> "F.Column":
