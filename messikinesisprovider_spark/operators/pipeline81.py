@@ -355,8 +355,14 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
     are decimal-exact products folded back over the contingency cells. The
     only doubles are the final 5-term group fold (sequential, group-sorted)
     and the closing H formula."""
+    # No spread() here (round 9, measured): the pre-exchange map work is a
+    # ROUND + cast — trivial — so the keyless repartition's SPARK-23207
+    # pre-shuffle sort cost more than the parallelism bought (A/B min-of-2:
+    # spread 2.35 s vs scan-direct 1.88 s for the cells+rank core). The
+    # decimal-exact rank-sum products run AFTER the cells exchange, already
+    # parallel.
     base = (
-        spread(tbl(spark, sf_dir, "orders"))
+        tbl(spark, sf_dir, "orders")
         .where(F.col("o_totalprice").isNotNull())
         .select(
             F.col("o_orderpriority").alias("grp"),

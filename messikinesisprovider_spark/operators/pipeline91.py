@@ -247,8 +247,52 @@ def sketch_quantile_digest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_centroids_merged"),
         *rank_estimates(mq, "mmean", "mcnt", "mcl", "merged"),
     )
-    # direct K2 digest over each whole group (the merge-vs-direct audit)
-    dcent = level1(base.select("g", "x", "l_orderkey", "l_linenumber"), ["g"], _QD_K2)
+    # Direct K2 digest AND exact interpolated percentiles off ONE rank pass
+    # (round 9). Before: the direct digest ranked every group row, and then
+    # a SEPARATE percentile() aggregate re-scanned and re-sorted the same
+    # rows per group — the dominant phase of the whole query (measured
+    # 3.8 s of 4.0 at sf0.1 as three buffers, still ~1.3 s as one array
+    # buffer). The (g)-rank window already orders x within g, so the
+    # digest's level-1 clusters and the percentile boundary values (the
+    # order statistics at floor/ceil of Percentile's position = p*(n-1))
+    # now come out of the SAME window pass; the interpolation below
+    # reproduces Spark Percentile's exact IEEE expression
+    # ((higher-position)*lo + (position-lower)*hi), pinned BITWISE against
+    # percentile() on sf0.001/sf0.01/sf0.1/edge/skew before shipping (the
+    # rival lo+(pos-lower)*(hi-lo) form differs in ULPs and was rejected).
+    w_d = W.partitionBy("g").orderBy("x", "l_orderkey", "l_linenumber")
+    dranked = base.select(
+        "g",
+        "x",
+        F.row_number().over(w_d).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    pick_aggs = []
+    for p in _QD_PCTS:
+        pos = F.lit(p / 100) * (F.col("n") - 1).cast("double")
+        pick_aggs += [
+            F.max(
+                F.when((F.col("rn") - 1) == F.floor(pos), F.col("x").cast("double"))
+            ).alias(f"_lo{p}"),
+            F.max(
+                F.when((F.col("rn") - 1) == F.ceil(pos), F.col("x").cast("double"))
+            ).alias(f"_hi{p}"),
+        ]
+    # persisted: the digest branch and the exact-percentile branch both read
+    # this micro-table (<= |groups| x K2 rows; released by the session
+    # clearCache contract) — without it the window pass would run twice.
+    dlvl = (
+        dranked.withColumn("cl", F.expr(f"CAST({_QD_K2} * (rn - 1) DIV n AS BIGINT)"))
+        .groupBy("g", "cl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum(F.expr("CAST(x AS DECIMAL(18,6))")).alias("wsum"),
+            F.max("n").alias("_n"),
+            *pick_aggs,
+        )
+        .persist()
+    )
+    dcent = dlvl.withColumn("mean", F.expr("CAST(wsum AS DOUBLE)") / F.col("cnt"))
     w_dq = W.partitionBy("g").orderBy("mean", "cl")
     dq = dcent.select(
         "g",
@@ -257,15 +301,21 @@ def sketch_quantile_digest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(wg).alias("ntot"),
     )
     est_d = dq.groupBy("g").agg(*rank_estimates(dq, "mean", "cnt", "cl", "direct"))
-    exact = base.groupBy("g").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        *[
-            F.round(F.expr(f"percentile(x, {p / 100})"), 4)
-            .cast("double")
-            .alias(f"exact_p{p}")
-            for p in _QD_PCTS
-        ],
+    exact_base = dlvl.groupBy("g").agg(
+        F.max("_n").cast("long").alias("n_rows"),
+        *[F.max(f"_lo{p}").alias(f"_lo{p}") for p in _QD_PCTS],
+        *[F.max(f"_hi{p}").alias(f"_hi{p}") for p in _QD_PCTS],
     )
+    exact_cols = []
+    for p in _QD_PCTS:
+        pos = F.lit(p / 100) * (F.col("n_rows") - 1).cast("double")
+        lower, higher = F.floor(pos), F.ceil(pos)
+        interp = F.when(higher == lower, F.col(f"_lo{p}")).otherwise(
+            (higher.cast("double") - pos) * F.col(f"_lo{p}")
+            + (pos - lower.cast("double")) * F.col(f"_hi{p}")
+        )
+        exact_cols.append(F.round(interp, 4).cast("double").alias(f"exact_p{p}"))
+    exact = exact_base.select("g", "n_rows", *exact_cols)
     out = exact.join(est_m, "g").join(est_d, "g")
     within = {
         suffix: F.aggregate(

@@ -244,10 +244,17 @@ def percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
+    # The two l_quantity percentiles share ONE buffer (array form — identical
+    # sort + interpolation, bit-identical values); p99 is a different input
+    # column, so it keeps its own aggregate.
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).cast("double").alias("p50_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).cast("double").alias("p90_qty"),
+        F.expr("percentile(l_quantity, array(0.5, 0.9))").alias("_pq"),
         F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).cast("double").alias("p99_price"),
+    ).select(
+        "l_returnflag",
+        F.round(F.col("_pq").getItem(0), 4).cast("double").alias("p50_qty"),
+        F.round(F.col("_pq").getItem(1), 4).cast("double").alias("p90_qty"),
+        "p99_price",
     )
 
 
@@ -445,13 +452,19 @@ def date_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
+    # One exact-percentile buffer for all three targets (array form —
+    # identical sort + interpolation, bit-identical values).
     agg = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).cast("double").alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).cast("double").alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).cast("double").alias("p99"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("_ep"),
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").alias(
             "_ap"
         ),
+    ).select(
+        "l_returnflag",
+        F.round(F.col("_ep").getItem(0), 4).cast("double").alias("p50"),
+        F.round(F.col("_ep").getItem(1), 4).cast("double").alias("p90"),
+        F.round(F.col("_ep").getItem(2), 4).cast("double").alias("p99"),
+        "_ap",
     )
     close = (
         (F.abs(F.col("_ap")[0] - F.col("p50")) <= F.col("p50") * F.lit(0.02))

@@ -316,16 +316,14 @@ def streaming_quantile_digest_maintenance(spark: SparkSession, sf_dir: str) -> D
         F.col("value").alias("x"),
         "event_id",
     )
-    exact = base.groupBy("g").agg(
-        F.count(F.lit(1)).cast("long").alias("n_rows"),
-        *[
-            F.round(F.expr(f"percentile(x, {p / 100})"), 4)
-            .cast("double")
-            .alias(f"exact_p{p}")
-            for p in _QD_PCTS
-        ],
-    )
-    # ε-rank bounds: exact order statistics at ranks target ± εn
+    # ε-rank bounds AND exact interpolated percentiles off ONE rank pass
+    # (round 9, the pipeline91 convention): the per-g rank window already
+    # orders x within g, so the separate percentile() aggregate (a second
+    # full scan + per-group count-map sort of events) is replaced by the
+    # order statistics at floor/ceil of Percentile's position = p*(n-1),
+    # interpolated with Percentile's exact IEEE expression
+    # ((higher-position)*lo + (position-lower)*hi — pinned bitwise against
+    # percentile(), see pipeline91). x is NULL-filtered upstream (ev).
     w_gr = W.partitionBy("g").orderBy("x", "event_id")
     granked = base.select(
         "g",
@@ -334,7 +332,7 @@ def streaming_quantile_digest_maintenance(spark: SparkSession, sf_dir: str) -> D
         F.count(F.lit(1)).over(W.partitionBy("g")).alias("n"),
     )
     eps = _target(_RANK_EPS_PCT, "n").replace("//", "DIV")
-    bound_cols = []
+    bound_cols = [F.max("n").cast("long").alias("n_rows")]
     for p in _QD_PCTS:
         t = _target(p, "n").replace("//", "DIV")
         bound_cols.append(
@@ -347,8 +345,29 @@ def streaming_quantile_digest_maintenance(spark: SparkSession, sf_dir: str) -> D
                 F.when(F.col("grn") == F.expr(f"LEAST(n, {t} + {eps})"), F.col("x"))
             ).alias(f"hi{p}")
         )
+        pos = F.lit(p / 100) * (F.col("n") - 1).cast("double")
+        bound_cols.append(
+            F.max(
+                F.when((F.col("grn") - 1) == F.floor(pos), F.col("x").cast("double"))
+            ).alias(f"_plo{p}")
+        )
+        bound_cols.append(
+            F.max(
+                F.when((F.col("grn") - 1) == F.ceil(pos), F.col("x").cast("double"))
+            ).alias(f"_phi{p}")
+        )
     bounds = granked.groupBy("g").agg(*bound_cols)
-    out = exact.join(est, "g").join(bounds, "g")
+    exact_cols = []
+    for p in _QD_PCTS:
+        pos = F.lit(p / 100) * (F.col("n_rows") - 1).cast("double")
+        lower, higher = F.floor(pos), F.ceil(pos)
+        interp = F.when(higher == lower, F.col(f"_plo{p}")).otherwise(
+            (higher.cast("double") - pos) * F.col(f"_plo{p}")
+            + (pos - lower.cast("double")) * F.col(f"_phi{p}")
+        )
+        exact_cols.append(F.round(interp, 4).cast("double").alias(f"exact_p{p}"))
+    bounds = bounds.select("g", "n_rows", *exact_cols, *[c for p in _QD_PCTS for c in (f"lo{p}", f"hi{p}")])
+    out = est.join(bounds, "g")
     within = F.aggregate(
         F.array(
             *[
