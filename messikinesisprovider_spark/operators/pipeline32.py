@@ -110,31 +110,40 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"c -> shiftright(sig, {_BITS_PER_CHUNK} * c) & {(1 << _BITS_PER_CHUNK) - 1})"
             )
         ).alias("c", "cv"),
-    ).persist()
+    )
     # Candidate generation exploits pair symmetry (round-5 tuning): the
     # bucket relation is symmetric, so mine each unordered pair ONCE
     # (vec_id < vec_id halves the join output AND the distinct input),
     # rescore once (cosine is symmetric), and emit both directions from the
     # scored half-pair with a single explode — no recompute, no second
     # shuffle. Candidate SET and results are bit-identical to the two-sided
-    # mining the oracle replicates; with the persisted chunk index above,
-    # measured 5.6 s -> 2.0 s at sf0.1.
-    cand = (
-        chunks.alias("x")
-        .join(
-            chunks.alias("y"),
-            (F.col("x.c") == F.col("y.c"))
-            & (F.col("x.cv") == F.col("y.cv"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(F.col("x.vec_id").alias("src"), F.col("y.vec_id").alias("dst"))
-        .distinct()
+    # mining the oracle replicates.
+    # Round 9 (the pipeline69 shape, guide §2.4): the vectors ride the
+    # bucket self-join itself instead of being re-attached to the slim
+    # candidate pairs with two more joins — the pair table is shuffled ONCE
+    # (the closing distinct) instead of three times (distinct + join-src +
+    # join-dst; e outgrows the broadcast threshold with the corpus). A pair
+    # colliding in k<=4 chunks is scored k times before the distinct — that
+    # bounded extra fold CPU buys removing two pair-table exchanges.
+    # The persisted ch is the materialized (LSH index ⋈ normalized vector)
+    # table both self-join sides read (the sig expression is too wide for
+    # codegen, so unpersisted it would be interpreted twice).
+    ch = (
+        chunks.join(e, "vec_id")
+        .select("vec_id", "c", "cv", "v", "nrm")
+        .persist()
     )
-    ea = e.select(F.col("vec_id").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    eb = e.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    xa = ch.select(
+        F.col("vec_id").alias("src"), "c", "cv",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    xb = ch.select(
+        F.col("vec_id").alias("dst"), "c", "cv",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
     scored_half = (
-        cand.join(ea, "src")
-        .join(eb, "dst")
+        xa.join(xb, ["c", "cv"])
+        .filter(F.col("src") < F.col("dst"))
         .select(
             "src",
             "dst",
@@ -143,6 +152,7 @@ def knn_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(acc, p) -> acc + p) / (na * nb), 6) AS DOUBLE)"
             ).alias("cos_sim"),
         )
+        .distinct()
     )
     scored = scored_half.select(
         F.explode(

@@ -264,7 +264,19 @@ def knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles on; rows in buckets past the cap carry their 2 extra sign
     # bits into the join key, everyone else joins on ext = 0 as before
     occ = chunks.groupBy("c", "cv").agg(F.count(F.lit(1)).alias("occ"))
-    chunks2 = (
+    # Round 9 (guide §2.4 remove shuffles, §8 attach-audit): the old shape
+    # materialized slim candidate pairs, DISTINCT'ed them, then re-attached
+    # the vectors with TWO more joins — at the fourth decade that is three
+    # full shuffles of the ~47M-pair table (e does not broadcast at 200k
+    # x 64 doubles, so each attach join re-shuffled every pair row). The
+    # vectors now ride the bucket self-join itself (the join key is
+    # (c, cv, ext) — an 800k-row chunk-table shuffle, NOT a pair shuffle),
+    # cosines are computed inside the join stage, and ONE distinct on the
+    # scored triple dedups multi-chunk collisions. A pair colliding in k
+    # chunks is scored k times (k <= 4, measured 1.35x mean) — that extra
+    # fold CPU buys removing two 47M-row exchanges. Candidate set, cosine
+    # arithmetic and output rows are identical; the oracle is untouched.
+    ch = (
         chunks.join(occ, ["c", "cv"])
         .select(
             "vec_id",
@@ -274,25 +286,21 @@ def knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .alias("ext"),
         )
+        .join(e, "vec_id")
+        .select("vec_id", "c", "cv", "ext", "v", "nrm")
         .persist()
     )
-    cand = (
-        chunks2.alias("x")
-        .join(
-            chunks2.alias("y"),
-            (F.col("x.c") == F.col("y.c"))
-            & (F.col("x.cv") == F.col("y.cv"))
-            & (F.col("x.ext") == F.col("y.ext"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .select(F.col("x.vec_id").alias("src"), F.col("y.vec_id").alias("dst"))
-        .distinct()
+    xa = ch.select(
+        F.col("vec_id").alias("src"), "c", "cv", "ext",
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
-    ea = e.select(F.col("vec_id").alias("src"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    eb = e.select(F.col("vec_id").alias("dst"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    xb = ch.select(
+        F.col("vec_id").alias("dst"), "c", "cv", "ext",
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
     scored_half = (
-        cand.join(ea, "src")
-        .join(eb, "dst")
+        xa.join(xb, ["c", "cv", "ext"])
+        .filter(F.col("src") < F.col("dst"))
         .select(
             "src",
             "dst",
@@ -301,6 +309,7 @@ def knn_graph_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(acc, p) -> acc + p) / (na * nb), 6) AS DOUBLE)"
             ).alias("cos_sim"),
         )
+        .distinct()
     )
     scored = scored_half.select(
         F.explode(
